@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is a Spark-first implementation of an operator from
+SURVEY.md §2 (or a training-data-pipeline operator); the matching
+``oracle_sql()`` entry recomputes the same result in DuckDB over the driver's
+pre-registered parquet views. The transcript corpus itself is synthesized
+deterministically from `events` with SQL that runs identically in both
+engines (clp_spark/sources/transcripts.py), so the CLP parse->encode->route->
+aggregate path is verified end to end: Spark runs the real tokenizer/encoder;
+the oracle predicts its outputs analytically from the template pool.
 """
 
 from __future__ import annotations
@@ -12,27 +15,417 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clp_spark.plans import pipeline as P
+from clp_spark.plans.grep import normalize_query, search
+from clp_spark.plans.kql import kql_filter
+from clp_spark.functions.wildcard import wildcard_to_regex
+from clp_spark.functions import text_metrics as TM
+from clp_spark.operators import dedup as DD
+from clp_spark.operators import similarity as SIM
+from clp_spark.sources.transcripts import (
+    DIM_ROLE_SQL,
+    DIM_TOOL_SQL,
+    ORACLE_DICT_VARS_UNION_SQL,
+    ORACLE_LOGTYPE_SQL,
+    dim_role,
+    dim_tool,
+    load_transcripts,
+    transcripts_cte,
+)
+
+SEARCH_SUBSTRING = "commit BEEF"          # implicit *q* (text-search default)
+SEARCH_WILDCARD = "used 1* of * GB*"      # explicit wildcards
+KQL_QUERY = "tool: search AND turn_idx > 4 AND NOT role: user"
+JACCARD_K = 3
+JACCARD_THRESHOLD = 0.12
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.parse_encode(load_transcripts(spark, sf_dir))
+
+
+# ---------------------------------------------------------------- queries ---
+
+def q_logtype_counts(spark, sf_dir):
+    return P.per_logtype_counts(_parsed(spark, sf_dir))
+
+
+def q_dict_var_counts(spark, sf_dir):
+    return (
+        _parsed(spark, sf_dir)
+        .select(F.explode("dict_vars").alias("var_str"))
+        .groupBy("var_str")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_var_type_counts(spark, sf_dir):
+    return (
+        _parsed(spark, sf_dir)
+        .select(F.explode("var_types").alias("var_type"))
+        .groupBy("var_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_tool_counts(spark, sf_dir):
+    enriched = P.enrich(_parsed(spark, sf_dir), dim_role(spark), dim_tool(spark))
+    return P.per_tool_counts(enriched)
+
+
+def q_conversation_counts(spark, sf_dir):
+    return P.per_conversation_counts(_parsed(spark, sf_dir))
+
+
+def q_count_by_time(spark, sf_dir):
+    return P.count_by_time(load_transcripts(spark, sf_dir), bucket_ms=3_600_000)
+
+
+def q_roundtrip_mismatches(spark, sf_dir):
+    t = load_transcripts(spark, sf_dir)
+    parsed = P.parse_encode(t)
+    msgs = P.encoded_messages(parsed)
+    lt, vd = P.build_logtype_dict(parsed), P.build_var_dict(parsed)
+    dec = P.decode_messages(msgs, lt, vd).withColumnRenamed("text", "dec_text")
+    mism = dec.join(t.select("conv_id", "turn_idx", "text"), ["conv_id", "turn_idx"]).filter(
+        "dec_text != text"
+    )
+    return mism.agg(F.count("*").alias("mismatches"))
+
+
+def _search(spark, sf_dir, query):
+    parsed = P.parse_encode(load_transcripts(spark, sf_dir))
+    msgs = P.encoded_messages(parsed)
+    lt, vd = P.build_logtype_dict(parsed), P.build_var_dict(parsed)
+    return search(msgs, lt, vd, query).select("conv_id", "turn_idx")
+
+
+def q_search_substring(spark, sf_dir):
+    return _search(spark, sf_dir, SEARCH_SUBSTRING)
+
+
+def q_search_wildcard(spark, sf_dir):
+    return _search(spark, sf_dir, SEARCH_WILDCARD)
+
+
+def q_kql_filter(spark, sf_dir):
+    t = load_transcripts(spark, sf_dir)
+    return kql_filter(t, KQL_QUERY).select("conv_id", "turn_idx")
+
+
+def q_q1_lineitem(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_top_orders(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+def q_nation_order_counts(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+def q_events_by_type(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("cnt"), F.round(F.avg("value"), 3).alias("avg_value")
+    )
+
+
+def q_dedup_exact_docs(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return DD.dedup_exact(d)
+
+
+def q_text_quality(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return TM.quality_metrics(d).withColumn("n_chars", F.col("n_chars").cast("bigint"))
+
+
+def q_token_counts(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return TM.token_counts(d)
+
+
+def q_langid(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return TM.language_id(d)
+
+
+def q_ngram_jaccard_dups(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return DD.ngram_jaccard_pairs(d, threshold=JACCARD_THRESHOLD, k=JACCARD_K)
+
+
+def q_minhash_lsh_dups(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return DD.minhash_lsh_pairs(d, threshold=JACCARD_THRESHOLD).select("id_a", "id_b")
+
+
+def q_simhash(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return DD.simhash_sketches(d)
+
+
+def q_fingerprint(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return TM.fingerprint(d)
+
+
+def _query_vec(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return [float(x) for x in e.filter("vec_id = 0").first()["embedding"]]
+
+
+def q_ann_topk(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SIM.cosine_topk(e, _query_vec(spark, sf_dir), k=10)
+
+
+def q_ann_topk_lsh(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SIM.ann_topk_lsh(e, _query_vec(spark, sf_dir), k=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "logtype_counts": q_logtype_counts,
+        "dict_var_counts": q_dict_var_counts,
+        "var_type_counts": q_var_type_counts,
+        "tool_counts": q_tool_counts,
+        "conversation_counts": q_conversation_counts,
+        "count_by_time": q_count_by_time,
+        "roundtrip_mismatches": q_roundtrip_mismatches,
+        "search_substring": q_search_substring,
+        "search_wildcard": q_search_wildcard,
+        "kql_filter": q_kql_filter,
+        "q1_lineitem": q_q1_lineitem,
+        "top_orders": q_top_orders,
+        "nation_order_counts": q_nation_order_counts,
+        "events_by_type": q_events_by_type,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "text_quality": q_text_quality,
+        "token_counts": q_token_counts,
+        "langid": q_langid,
+        "ngram_jaccard_dups": q_ngram_jaccard_dups,
+        "minhash_lsh_dups": q_minhash_lsh_dups,
+        "simhash": q_simhash,
+        "fingerprint": q_fingerprint,
+        "ann_topk": q_ann_topk,
+        "ann_topk_lsh": q_ann_topk_lsh,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ----------------------------------------------------------------- oracles --
+
+_CTE = transcripts_cte()
+
+_SEARCH_ORACLE = (
+    _CTE
+    + "SELECT conv_id, turn_idx FROM transcripts WHERE regexp_matches(text, '{rx}')"
+)
+
+_QUALITY_ORACLE = """
+SELECT doc_id,
+       cast(length(text) as bigint) AS n_chars,
+       cast(len(string_split(text, ' ')) as bigint) AS n_words,
+       round((length(text) - len(string_split(text, ' ')) + 1) * 1.0
+             / len(string_split(text, ' ')), 4) AS mean_word_len,
+       round(len(list_filter(string_split(text, ' '), x -> x in ({stops}))) * 1.0
+             / len(string_split(text, ' ')), 4) AS stopword_ratio
+FROM documents
+"""
+
+_LANGID_ORACLE = """
+WITH hits AS (
+  SELECT doc_id,
+    {hit_exprs}
+  FROM documents
+), best AS (
+  SELECT doc_id, greatest({hit_cols}) AS best_hits, * FROM hits
+)
+SELECT doc_id,
+  CASE WHEN best_hits = 0 THEN 'und'
+       {tie_cases}
+  END AS pred_lang,
+  cast(best_hits as bigint) AS hits
+FROM best
+"""
+
+_SHINGLE_CTE = """
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      range(1, greatest(len(string_split(text, ' ')) - {km1}, 1) + 1),
+      i -> array_to_string(list_slice(string_split(text, ' '), i, i + {km1}), ' ')
+  ))) AS s FROM documents
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+)
+"""
+
+_COS_EXPR = (
+    "list_aggregate(list_transform(list_zip(embedding, (SELECT qe FROM q)), "
+    "p -> cast(p[1] as double) * cast(p[2] as double)), 'sum') "
+    "/ (sqrt(list_aggregate(list_transform(embedding, x -> cast(x as double) * cast(x as double)), 'sum')) "
+    "* sqrt(list_aggregate(list_transform((SELECT qe FROM q), x -> cast(x as double) * cast(x as double)), 'sum')))"
+)
+
+
+def _langid_oracle() -> str:
+    from clp_spark.functions.text_metrics import LANG_PROFILES
+
+    hit_exprs = ",\n    ".join(
+        "len(list_filter(string_split(text, ' '), x -> x in ({lst}))) AS h_{lang}".format(
+            lst=", ".join(f"'{s}'" for s in stops), lang=lang
+        )
+        for lang, stops in LANG_PROFILES.items()
+    )
+    hit_cols = ", ".join(f"h_{lang}" for lang in LANG_PROFILES)
+    # tie-break mirrors Spark greatest(struct(hits, lang)): max hits, then
+    # lexicographically greatest language code
+    tie_cases = "\n       ".join(
+        f"WHEN h_{lang} = best_hits THEN '{lang}'"
+        for lang in sorted(LANG_PROFILES, reverse=True)
+    )
+    return _LANGID_ORACLE.format(hit_exprs=hit_exprs, hit_cols=hit_cols, tie_cases=tie_cases)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from clp_spark.functions.text_metrics import STOPWORDS
+
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return {
+        "logtype_counts": (
+            _CTE + f"SELECT {ORACLE_LOGTYPE_SQL} AS logtype, count(*) AS cnt FROM base GROUP BY 1"
+        ),
+        "dict_var_counts": (
+            _CTE
+            + f"SELECT var AS var_str, count(*) AS cnt FROM ({ORACLE_DICT_VARS_UNION_SQL}) GROUP BY 1"
+        ),
+        "var_type_counts": (
+            _CTE
+            + """
+            SELECT var_type, cast(sum(n) as bigint) AS cnt FROM (
+              SELECT 17 AS var_type, count(*) FILTER (tid < 4) + count(*) FILTER (tid = 8)
+                     + count(*) FILTER (tid = 9) AS n FROM base
+              UNION ALL
+              SELECT 19, 2 * count(*) FILTER (tid < 4) FROM base
+              UNION ALL
+              SELECT 18, 3 * count(*) FILTER (tid = 4) + 2 * count(*) FILTER (tid = 6)
+                     + 2 * count(*) FILTER (tid = 7) + 2 * count(*) FILTER (tid = 8)
+                     + count(*) FILTER (tid = 9) FROM base
+            ) GROUP BY 1 HAVING sum(n) > 0
+            """
+        ),
+        "tool_counts": (
+            _CTE
+            + f"SELECT t.tool, d.tool_family, d.cost_class, count(*) AS cnt "
+              f"FROM transcripts t JOIN ({DIM_TOOL_SQL}) d ON t.tool = d.tool "
+              f"GROUP BY 1, 2, 3"
+        ),
+        "conversation_counts": (
+            _CTE
+            + "SELECT conv_id, count(*) AS n_turns, min(epoch_ms(ts)) AS first_ts_ms, "
+              "max(epoch_ms(ts)) AS last_ts_ms FROM transcripts GROUP BY 1"
+        ),
+        "count_by_time": (
+            _CTE
+            + "SELECT (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms, count(*) AS cnt "
+              "FROM transcripts GROUP BY 1"
+        ),
+        "roundtrip_mismatches": "SELECT cast(0 as bigint) AS mismatches",
+        "search_substring": _SEARCH_ORACLE.format(
+            rx=wildcard_to_regex(normalize_query(SEARCH_SUBSTRING))
+        ),
+        "search_wildcard": _SEARCH_ORACLE.format(
+            rx=wildcard_to_regex(normalize_query(SEARCH_WILDCARD))
+        ),
+        "kql_filter": (
+            _CTE
+            + "SELECT conv_id, turn_idx FROM transcripts "
+              "WHERE tool = 'search' AND turn_idx > 4 AND NOT role = 'user'"
+        ),
+        "q1_lineitem": (
+            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_base_price, "
+            "round(avg(l_discount), 4) AS avg_disc, count(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= '1998-09-02' GROUP BY 1, 2"
+        ),
+        "top_orders": (
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "nation_order_counts": (
+            "SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY 1"
+        ),
+        "events_by_type": (
+            "SELECT event_type, count(*) AS cnt, round(avg(value), 3) AS avg_value "
+            "FROM events GROUP BY 1"
+        ),
+        "dedup_exact_docs": (
+            "SELECT min(doc_id) AS keeper_id, count(*) AS n_copies FROM documents GROUP BY text"
+        ),
+        "text_quality": _QUALITY_ORACLE.format(stops=stops),
+        "token_counts": (
+            "SELECT doc_id, cast(len(string_split(text, ' ')) as bigint) AS ws_tokens, "
+            "cast(len(regexp_extract_all(text, '[A-Za-z0-9]+')) as bigint) AS re_tokens "
+            "FROM documents"
+        ),
+        "langid": _langid_oracle(),
+        "ngram_jaccard_dups": (
+            "WITH "
+            + _SHINGLE_CTE.format(km1=JACCARD_K - 1)
+            + f"SELECT id_a, id_b, round(c * 1.0 / (x.sz + y.sz - c), 4) AS jaccard "
+              f"FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id "
+              f"WHERE c * 1.0 / (x.sz + y.sz - c) >= {JACCARD_THRESHOLD}"
+        ),
+        "ann_topk": (
+            "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
+            f"SELECT vec_id, round({_COS_EXPR}, 6) AS sim FROM embeddings "
+            "ORDER BY sim DESC, vec_id LIMIT 10"
+        ),
+        # minhash_lsh_dups / simhash / fingerprint / ann_topk_lsh: hash- or
+        # signature-based (not ANSI-SQL-expressible) -> driver rows-only check.
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: full parse->encode->enrich->aggregate over sf0.001."""
+    sf_dir = "/root/testdata/sf0.001"
+    parsed = _parsed(spark, sf_dir)
+    enriched = P.enrich(parsed, dim_role(spark), dim_tool(spark))
+    return (
+        enriched.groupBy("logtype", "tool_family")
+        .agg(F.count("*").alias("cnt"), F.countDistinct("conv_id").alias("n_convs"))
+        .orderBy(F.desc("cnt"), "logtype", "tool_family")
+    )

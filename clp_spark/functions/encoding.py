@@ -102,7 +102,7 @@ def encode_float(value: str) -> int | None:
 
 def decode_float(encoded: int) -> str:
     """Exact inverse of :func:`encode_float` (byte-identical round trip)."""
-    u = encoded & 0xFFFFFFFFFFFFFFFF
+    u = int(encoded) & 0xFFFFFFFFFFFFFFFF  # int() coerces numpy int64 from Arrow
     decimal_pos = (u & 0x0F) + 1
     u >>= 4
     num_digits = (u & 0x0F) + 1
@@ -125,4 +125,4 @@ def decode_float(encoded: int) -> str:
 
 def decode_int(encoded: int) -> str:
     """Inverse of :func:`encode_int` (canonical form makes str() exact)."""
-    return str(encoded)
+    return str(int(encoded))

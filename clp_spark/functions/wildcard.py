@@ -69,7 +69,10 @@ def wildcard_to_regex(wild: str, *, full_match: bool = True) -> str:
             out.append("\\" + c if c in _REGEX_SPECIALS else re.escape(c))
         i += 1
     body = "".join(out)
-    return ("\\A" + body + "\\Z") if full_match else body
+    # ^/$ (not \A/\Z) so the regex is valid in both Java (Spark rlike) and
+    # RE2 (DuckDB oracle); neither is in multiline mode so they anchor the
+    # whole string.
+    return ("^" + body + "$") if full_match else body
 
 
 def wildcard_match(tame: str, wild: str, case_sensitive: bool = True) -> bool:

@@ -1,0 +1,146 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k against a broadcast query vector — pure
+column ops (zip_with + aggregate), JVM-side, embarrassingly parallel; at
+100 TB this is a single scan with a TakeOrderedAndProject, no shuffle of the
+vectors themselves.
+
+Scale path: LSH-bucketed ANN (random-hyperplane signatures). Each vector gets
+a b-bit signature; queries probe only matching (or near) buckets — the
+candidate set shrinks by ~2^b, trading recall for scan cost. Signatures are
+computed in one Arrow-batched numpy pass.
+
+Embedding-cosine near-duplicate pairs reuse the bucket self-join pattern from
+operators/dedup.py (never a crossJoin of the full table).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+
+def _dot_expr(vec_col: str, qlit: str) -> str:
+    return (
+        f"aggregate(zip_with({vec_col}, {qlit}, (x, y) -> cast(x as double) * cast(y as double)), "
+        f"cast(0.0 as double), (s, v) -> s + v)"
+    )
+
+
+def _norm_expr(vec_col: str) -> str:
+    return (
+        f"sqrt(aggregate({vec_col}, cast(0.0 as double), "
+        f"(s, v) -> s + cast(v as double) * cast(v as double)))"
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine top-k: (vec_id, sim) deterministic (ties broken by id).
+
+    The query vector is a constant-folded array literal — no UDF, no Python,
+    the whole plan is scan -> project -> TakeOrderedAndProject.
+    """
+    qlit = "array(" + ", ".join(f"cast({float(x)!r} as double)" for x in query_vec) + ")"
+    qnorm = float(np.sqrt(np.dot(query_vec, query_vec)))
+    sim = F.expr(f"{_dot_expr(vec_col, qlit)} / ({_norm_expr(vec_col)} * {qnorm!r})")
+    return (
+        df.select(F.col(id_col), F.round(sim, 6).alias("sim"))
+        .orderBy(F.desc("sim"), id_col)
+        .limit(k)
+    )
+
+
+def hyperplane_signatures(
+    df: DataFrame,
+    dim: int,
+    bits: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane LSH signature per vector (one numpy pass per batch)."""
+    planes = np.random.RandomState(seed).normal(size=(bits, dim))
+    schema = StructType([StructField("id", LongType()), StructField("sig", LongType())])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].to_numpy())  # (n, dim) float
+            bits_m = (mat @ planes.T) > 0  # (n, bits)
+            sig = np.zeros(len(pdf), dtype=np.uint64)
+            for b in range(bits):
+                sig |= bits_m[:, b].astype(np.uint64) << np.uint64(b)
+            yield pd.DataFrame({"id": pdf[id_col].to_numpy(), "sig": sig.astype(np.int64)})
+
+    return df.select(id_col, vec_col).mapInPandas(run, schema=schema)
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    bits: int = 12,
+    max_hamming: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: prune by signature Hamming distance to the query's
+    signature, exact cosine re-rank on survivors.
+
+    bit_count(xor) is a codegen'd JVM intrinsic; the scan prunes to roughly
+    sum_{i<=max_hamming} C(bits, i)/2^bits of the data before any float math.
+    """
+    planes = np.random.RandomState(seed).normal(size=(bits, len(query_vec)))
+    qsig = 0
+    proj = planes @ np.asarray(query_vec)
+    for b in range(bits):
+        if proj[b] > 0:
+            qsig |= 1 << b
+    sigs = hyperplane_signatures(df, len(query_vec), bits, vec_col, id_col, seed)
+    cand_ids = sigs.filter(
+        F.expr(f"bit_count(sig ^ {qsig}) <= {max_hamming}")
+    ).select(F.col("id").alias(id_col))
+    cand = df.join(cand_ids, id_col, "left_semi")
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via signature-bucket self-join +
+    exact cosine verify (id_a < id_b, sim >= threshold)."""
+    sigs = hyperplane_signatures(df, dim=len(df.select(vec_col).first()[0]), bits=bits,
+                                 vec_col=vec_col, id_col=id_col, seed=seed)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    vecs = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    paired = (
+        cand.join(vecs.withColumnRenamed("vid", "id_a").withColumnRenamed("v", "v_a"), "id_a")
+        .join(vecs.withColumnRenamed("vid", "id_b").withColumnRenamed("v", "v_b"), "id_b")
+    )
+    dot = "aggregate(zip_with(v_a, v_b, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (s, v) -> s + v)"
+    sim = F.expr(f"{dot} / ({_norm_expr('v_a')} * {_norm_expr('v_b')})")
+    return (
+        paired.withColumn("sim", F.round(sim, 6))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )

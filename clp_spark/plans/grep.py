@@ -1,0 +1,169 @@
+"""Wildcard search over encoded messages — CLP's clg/clo pipeline, Spark-first.
+
+Reference lifecycle (SURVEY.md §3.2; clp/GrepCore.hpp:156-271, clp/Grep.cpp:81-140):
+  query -> candidate logtype set (dictionary pruning on the driver)
+        -> per-message filters (ts range -> logtype∈set)
+        -> decode matching rows
+        -> final wildcard confirm on the decoded text.
+
+Spark re-expression: the logtype dictionary is tiny relative to the data
+(thousands of templates vs 10^12 turns), so candidate pruning runs on the
+driver against the collected dictionary; the candidate-id set becomes a
+broadcast `isin`/semi-join; only surviving rows pay the decode join; the
+confirm filter is a JVM `rlike`. This keeps the expensive work proportional
+to matching logtypes, like the reference's segment-index pruning
+(clp/Query.cpp make_sub_queries_relevant_to_segment).
+
+Candidate test = exact wildcard-pattern intersection (DP) between the query
+and the logtype template with each variable placeholder treated as '*'
+(a variable can expand to any token text). This is a sound superset of the
+reference's per-subquery candidate generation — exactness is restored by the
+confirm filter, which the reference also applies (clp/Grep.cpp:116-132).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.tokenizer import PLACEHOLDER_DICT, PLACEHOLDER_FLOAT, PLACEHOLDER_INT
+from ..functions.wildcard import clean_up_wildcard_search_string, wildcard_to_regex
+
+_PLACEHOLDERS = (PLACEHOLDER_INT, PLACEHOLDER_DICT, PLACEHOLDER_FLOAT)
+
+
+def _template_to_pattern(logtype: str) -> str:
+    """Logtype template -> wildcard pattern ('*' per variable, escapes kept)."""
+    out = []
+    i = 0
+    n = len(logtype)
+    while i < n:
+        c = logtype[i]
+        if c == "\\" and i + 1 < n:
+            nxt = logtype[i + 1]
+            # escaped literal; re-escape wildcard-special chars
+            out.append("\\" + nxt if nxt in "*?\\" else nxt)
+            i += 2
+        elif c in _PLACEHOLDERS:
+            out.append("*")
+            i += 1
+        else:
+            out.append("\\" + c if c in "*?\\" else c)
+            i += 1
+    return "".join(out)
+
+
+def _tokens(pattern: str):
+    """Parse a wildcard pattern into tokens: ('*',), ('?',), ('lit', ch)."""
+    toks = []
+    i = 0
+    n = len(pattern)
+    while i < n:
+        c = pattern[i]
+        if c == "*":
+            if not toks or toks[-1] != ("*",):
+                toks.append(("*",))
+            i += 1
+        elif c == "?":
+            toks.append(("?",))
+            i += 1
+        elif c == "\\" and i + 1 < n:
+            toks.append(("lit", pattern[i + 1]))
+            i += 2
+        else:
+            toks.append(("lit", c))
+            i += 1
+    return tuple(toks)
+
+
+@lru_cache(maxsize=16384)
+def patterns_intersect(p1: str, p2: str) -> bool:
+    """Whether two wildcard patterns can match a common string (DP, O(n*m)).
+
+    Used driver-side only (query x small dictionary)."""
+    a, b = _tokens(p1), _tokens(p2)
+    la, lb = len(a), len(b)
+    # dp[i][j] = suffix a[i:] and b[j:] can match a common string
+    dp = [[False] * (lb + 1) for _ in range(la + 1)]
+    dp[la][lb] = True
+    for i in range(la, -1, -1):
+        for j in range(lb, -1, -1):
+            if i == la and j == lb:
+                continue
+            ok = False
+            ta = a[i] if i < la else None
+            tb = b[j] if j < lb else None
+            if ta == ("*",):
+                ok = ok or dp[i + 1][j]  # '*' -> empty
+                if j < lb:
+                    ok = ok or dp[i][j + 1]  # '*' consumes one char of any b-token
+            if not ok and tb == ("*",):
+                ok = ok or dp[i][j + 1]
+                if i < la:
+                    ok = ok or dp[i + 1][j]
+            if not ok and ta is not None and tb is not None and ta != ("*",) and tb != ("*",):
+                # both consume exactly one char; compatible if either is '?'
+                # or equal literals
+                if ta == ("?",) or tb == ("?",) or ta == tb:
+                    ok = dp[i + 1][j + 1]
+            dp[i][j] = ok
+    return dp[0][0]
+
+
+def normalize_query(query: str) -> str:
+    """CLP text search is implicit substring: q -> *q*
+    (reference docs/src/user-docs/reference-text-search-syntax.md:12-14)."""
+    q = clean_up_wildcard_search_string(query)
+    if not q.startswith("*"):
+        q = "*" + q
+    if not q.endswith("*") or q.endswith("\\*"):
+        q = q + "*"
+    return clean_up_wildcard_search_string(q)
+
+
+def candidate_logtype_ids(logtype_rows, query: str) -> list[int]:
+    """Driver-side dictionary prune: rows = [(logtype_id, logtype), ...]."""
+    q = normalize_query(query)
+    return [lid for lid, lt in logtype_rows if patterns_intersect(q, _template_to_pattern(lt))]
+
+
+def search(
+    messages: DataFrame,
+    logtype_dict: DataFrame,
+    var_dict: DataFrame,
+    query: str,
+    *,
+    begin_ts_ms: int | None = None,
+    end_ts_ms: int | None = None,
+) -> DataFrame:
+    """Full wildcard search -> (conv_id, turn_idx, text) of matching turns.
+
+    Filter staging mirrors the reference's cheap-to-expensive order
+    (clp/streaming_archive/reader/File.cpp:269-292): ts range, logtype-set
+    semi-filter, then decode + wildcard confirm.
+    """
+    from .pipeline import decode_messages
+
+    q = normalize_query(query)
+
+    filtered = messages
+    if begin_ts_ms is not None:
+        filtered = filtered.filter(F.unix_millis(F.col("ts").cast("timestamp")) >= begin_ts_ms)
+    if end_ts_ms is not None:
+        filtered = filtered.filter(F.unix_millis(F.col("ts").cast("timestamp")) <= end_ts_ms)
+
+    # Driver-side dictionary prune (dictionary is small; collect is bounded
+    # by #distinct templates, not data size).
+    lt_rows = [(r["logtype_id"], r["logtype"]) for r in logtype_dict.select("logtype_id", "logtype").collect()]
+    cand = candidate_logtype_ids(lt_rows, query)
+    if not cand:
+        return (
+            decode_messages(filtered.limit(0), logtype_dict, var_dict)
+        )  # empty, stable schema
+    if len(cand) < len(lt_rows):
+        filtered = filtered.filter(F.col("logtype_id").isin(cand))
+
+    decoded = decode_messages(filtered, logtype_dict, var_dict)
+    return decoded.filter(F.col("text").rlike(wildcard_to_regex(q)))

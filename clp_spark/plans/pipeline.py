@@ -1,0 +1,256 @@
+"""The parse -> encode -> enrich -> route -> aggregate plan.
+
+Spark-first re-expression of CLP's compression path
+(reference walk: clp/clp/FileCompressor.cpp -> clp/streaming_archive/writer/
+Archive.cpp:299-316 write_msg -> EncodedVariableInterpreter.hpp:317-336):
+
+  raw turns --mapInPandas(tokenize+encode)--> parsed
+      parsed --xxhash64--> logtype_id / dict var ids    (JVM-side, codegen)
+      parsed --groupBy--> logtype dictionary, var dictionary (content-hash ids)
+      parsed --broadcast join--> role/tool enrichment
+      parsed --repartition(bucket, salt)--> per-logtype-bucket sinks
+      parsed --groupBy--> per-logtype / per-tool / per-conversation counts
+
+Design-for-scale notes:
+  * dictionary IDs are content hashes (xxhash64), not first-seen dense ids —
+    dense assignment needs a global ordered shuffle; content hashing is
+    embarrassingly parallel, deterministic across retries/executors, and
+    collision-safe to ~1e9 distinct entries (birthday p < 3%); the dictionary
+    tables keep (id, string) so round-trip decode never depends on luck.
+  * per-turn work happens once in ONE Arrow-batched UDF; everything after is
+    whole-stage-codegen column ops (no Python in the agg/join/route path).
+  * the logtype distribution is Zipfian (one hot template >= 40% of rows) —
+    routed writes salt the partition key so a hot logtype spreads over
+    `n_salts` tasks instead of one straggler; AQE skew-join covers the read
+    side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+def ts_millis(ts_col: str) -> Column:
+    """Epoch millis from a timestamp column. The cast normalizes
+    TIMESTAMP_NTZ (parquet isAdjustedToUTC=false) to session-tz instants;
+    the session is pinned to UTC (clp_spark/session.py) so this matches
+    DuckDB's naive-as-UTC epoch_ms semantics."""
+    return F.unix_millis(F.col(ts_col).cast("timestamp"))
+
+
+PARSED_EXTRA_FIELDS = [
+    StructField("logtype", StringType()),
+    StructField("var_types", ArrayType(IntegerType())),
+    StructField("dict_vars", ArrayType(StringType())),
+    StructField("encoded_nums", ArrayType(LongType())),
+]
+
+
+def parse_encode(transcripts: DataFrame, text_col: str = "text") -> DataFrame:
+    """Tokenize + encode every turn's text (one Arrow-batched pass).
+
+    Adds: logtype, var_types, dict_vars (slot-ordered), encoded_nums
+    (per-variable int64; null for dict slots), then JVM-side content-hash ids:
+    logtype_id, dict_var_ids, encoded_vars (dict slots filled with ids).
+    """
+    out_schema = StructType(list(transcripts.schema.fields) + PARSED_EXTRA_FIELDS)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # import inside the worker so --py-files deployment works
+        from clp_spark.functions.tokenizer import encode_series
+
+        for pdf in batches:
+            enc = encode_series(pdf[text_col])
+            yield pd.concat([pdf.reset_index(drop=True), enc.reset_index(drop=True)], axis=1)
+
+    parsed = transcripts.mapInPandas(run, schema=out_schema)
+    # Content-hash ids + merged encoded_vars, all in whole-stage codegen.
+    # encoded_vars zips dict ids into the null slots of encoded_nums in order
+    # (the ragged-array layout of reference File.hpp:257-259, kept per row).
+    return (
+        parsed.withColumn("logtype_id", F.xxhash64("logtype"))
+        .withColumn("dict_var_ids", F.expr("transform(dict_vars, v -> xxhash64(v))"))
+        .withColumn(
+            "encoded_vars",
+            F.expr(
+                """
+                aggregate(
+                  encoded_nums,
+                  named_struct('acc', cast(array() as array<bigint>), 'di', 0),
+                  (s, x) -> if(x is null,
+                               named_struct('acc', s.acc || array(dict_var_ids[s.di]), 'di', s.di + 1),
+                               named_struct('acc', s.acc || array(x), 'di', s.di)),
+                  s -> s.acc
+                )
+                """
+            ),
+        )
+    )
+
+
+def build_logtype_dict(parsed: DataFrame) -> DataFrame:
+    """Logtype dictionary: (logtype_id, logtype, n_messages).
+
+    Analog of reference LogTypeDictionaryWriter (clp/LogTypeDictionaryWriter.hpp:37)
+    — Spark's partial+final hash aggregate replaces the intern map.
+    """
+    return parsed.groupBy("logtype_id", "logtype").agg(F.count("*").alias("n_messages"))
+
+
+def build_var_dict(parsed: DataFrame) -> DataFrame:
+    """Variable dictionary: (var_id, var_str, n_occurrences).
+
+    Analog of reference VariableDictionaryWriter (clp/VariableDictionaryWriter.cpp:11-41).
+    """
+    return (
+        parsed.select(F.explode("dict_vars").alias("var_str"))
+        .groupBy("var_str")
+        .agg(F.count("*").alias("n_occurrences"))
+        .withColumn("var_id", F.xxhash64("var_str"))
+        .select("var_id", "var_str", "n_occurrences")
+    )
+
+
+def dense_ids(dict_df: DataFrame, id_col: str, order_col: str) -> DataFrame:
+    """Optional dense 0..N-1 ids (reference first-seen-wins analog,
+    deterministic here by ordering on content). Single-partition window —
+    only for small dictionaries / parity debugging; hashes are the scale path."""
+    w = Window.orderBy(order_col)
+    return dict_df.withColumn(id_col, F.row_number().over(w) - F.lit(1))
+
+
+def enrich(parsed: DataFrame, dim_role: DataFrame, dim_tool: DataFrame) -> DataFrame:
+    """Broadcast-hash enrich (analog of CLP var-dict lookup joins,
+    SURVEY.md §2.3; dims are tiny, never shuffled)."""
+    return parsed.join(F.broadcast(dim_role), "role", "left").join(
+        F.broadcast(dim_tool), "tool", "left"
+    )
+
+
+def route(parsed: DataFrame, n_buckets: int = 16, n_salts: int = 8) -> DataFrame:
+    """Assign fan-out bucket + skew salt for per-logtype-bucket sinks.
+
+    Analog of glt's per-logtype tables (glt/.../LogtypeTable.hpp:13-76) as
+    hash-bucketed partitions. `repartition(bucket, salt)` spreads a hot
+    logtype over n_salts writer tasks (salting per SURVEY.md §4.2).
+    """
+    routed = parsed.withColumn(
+        "logtype_bucket", F.pmod(F.col("logtype_id"), F.lit(n_buckets)).cast("int")
+    ).withColumn(
+        "salt",
+        F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(n_salts)).cast("int"),
+    )
+    return routed.repartition("logtype_bucket", "salt")
+
+
+def encoded_messages(parsed: DataFrame) -> DataFrame:
+    """The encoded-message store (reference 3-column layout
+    File.hpp:257-259, plus transcript keys): drops raw text — that is the
+    compression."""
+    return parsed.select(
+        "conv_id", "turn_idx", "ts", "role", "tool",
+        "logtype_id", "encoded_vars", "dict_var_ids",
+    )
+
+
+def decode_messages(
+    messages: DataFrame,
+    logtype_dict: DataFrame,
+    var_dict: DataFrame,
+    *,
+    broadcast_dicts: bool = True,
+) -> DataFrame:
+    """Decode join: messages ⋈ logtype_dict ⋈ var_dict -> original text.
+
+    Analog of reference decode_variables_into_message
+    (clp/EncodedVariableInterpreter.hpp:480-556). Dict-var strings are
+    recovered by exploding dict_var_ids with position, joining the var
+    dictionary, and re-collecting in slot order; the final render is one
+    Arrow-batched UDF.
+    """
+    lt = logtype_dict.select("logtype_id", "logtype")
+    vd = var_dict.select("var_id", "var_str")
+    if broadcast_dicts:
+        lt, vd = F.broadcast(lt), F.broadcast(vd)
+
+    with_lt = messages.join(lt, "logtype_id", "left")
+
+    # Recover slot-ordered dict var strings. Rows with no dict vars skip the
+    # explode/regroup entirely (cheap union instead of null-handling in agg).
+    no_vars = with_lt.filter(F.size("dict_var_ids") == 0).withColumn(
+        "dict_vars", F.expr("cast(array() as array<string>)")
+    )
+    exploded = (
+        with_lt.filter(F.size("dict_var_ids") > 0)
+        .select(
+            "conv_id", "turn_idx", "ts", "logtype_id", "logtype", "encoded_vars",
+            F.posexplode("dict_var_ids").alias("pos", "var_id"),
+        )
+        .join(vd, "var_id", "left")
+        .groupBy("conv_id", "turn_idx", "ts", "logtype_id", "logtype", "encoded_vars")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(pos, var_str))), s -> s.var_str)")
+            .alias("dict_vars")
+        )
+    )
+    cols = ["conv_id", "turn_idx", "ts", "logtype_id", "logtype", "encoded_vars", "dict_vars"]
+    combined = no_vars.select(*cols).unionByName(exploded.select(*cols))
+
+    render_schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("turn_idx", IntegerType()),
+            StructField("text", StringType()),
+        ]
+    )
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from clp_spark.functions.tokenizer import decode_text
+
+        for pdf in batches:
+            texts = [
+                decode_text(lt_ or "", dv if dv is not None else [], ev if ev is not None else [])
+                for lt_, dv, ev in zip(pdf["logtype"], pdf["dict_vars"], pdf["encoded_vars"])
+            ]
+            yield pd.DataFrame(
+                {"conv_id": pdf["conv_id"], "turn_idx": pdf["turn_idx"], "text": texts}
+            )
+
+    return combined.mapInPandas(render, schema=render_schema)
+
+
+def per_logtype_counts(parsed: DataFrame) -> DataFrame:
+    return parsed.groupBy("logtype").agg(F.count("*").alias("cnt"))
+
+
+def per_tool_counts(enriched: DataFrame) -> DataFrame:
+    return enriched.groupBy("tool", "tool_family", "cost_class").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def per_conversation_counts(parsed: DataFrame) -> DataFrame:
+    return parsed.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.min(ts_millis("ts")).alias("first_ts_ms"),
+        F.max(ts_millis("ts")).alias("last_ts_ms"),
+    )
+
+
+def count_by_time(df: DataFrame, bucket_ms: int = 3_600_000, ts_col: str = "ts") -> DataFrame:
+    """Tumbling count-by-time with reference bucket semantics
+    bucket = (ts_ms / B) * B, integer division
+    (reference clp/clo/OutputHandler.hpp:271-273)."""
+    bucket = F.expr(f"unix_millis(cast({ts_col} as timestamp)) div {bucket_ms}") * F.lit(bucket_ms)
+    return df.groupBy(bucket.alias("bucket_ms")).agg(F.count("*").alias("cnt"))
