@@ -188,12 +188,21 @@ def decode_text(logtype: str, dict_vars, encoded_nums) -> str:
 
 
 def encode_series(texts: pd.Series) -> pd.DataFrame:
-    """Vectorized entry point: encode a pandas Series of messages.
+    """Batch entry point: encode a pandas Series of messages.
 
-    Returns a DataFrame with columns logtype / var_types / dict_vars /
-    encoded_nums (lists). Memoized per distinct text via lru_cache, so
-    template-heavy batches pay the Python cost once per distinct string.
+    Delegates to the numpy byte-column implementation
+    (:mod:`clp_spark.functions.tokenizer_vec`) — no per-row Python in the
+    hot path. This scalar module remains the semantics oracle
+    (tests/test_tokenizer_vec.py asserts exact equivalence).
     """
+    from .tokenizer_vec import encode_batch
+
+    return encode_batch(texts)
+
+
+def encode_series_scalar(texts: pd.Series) -> pd.DataFrame:
+    """Reference scalar implementation (one Python call per row); used as
+    the test oracle for the vectorized path."""
     encoded = texts.map(lambda t: encode_text(t) if t is not None else ("", (), (), ()))
     return pd.DataFrame(
         {

@@ -1,0 +1,343 @@
+"""Vectorized CLP tokenizer+encoder: numpy over flat UTF-8 byte columns.
+
+Same semantics as the scalar reference implementation in
+:mod:`clp_spark.functions.tokenizer` (which remains the test oracle), but the
+whole Arrow batch is processed as ONE flat byte buffer with numpy — no
+per-row Python in the hot path, per the north-star requirement ("compiled
+regex/grok over Arrow byte columns, never per-row Python").
+
+Semantics re-derived from the reference (NOT ported code):
+  - delimiter set / variable heuristic:
+    reference components/core/src/clp/ir/parsing.cpp:20-24,74-84
+  - canonical int / custom 16-digit float encodings:
+    reference components/core/src/clp/EncodedVariableInterpreter.cpp:24-142
+  - placeholder bytes Integer=0x11, Dictionary=0x12, Float=0x13, Escape='\\':
+    reference components/core/src/clp/ir/types.hpp:17-22
+
+Pipeline per batch:
+  1. join rows into one byte buffer with NUL separators (NUL is a delimiter
+     and cannot appear in the vector path — such rows use the scalar path);
+  2. token spans via a 256-entry class table + run-length boundary masks;
+  3. per-token predicates (has-digit / has-alpha / all-hex / canonical-int /
+     float-form) via prefix-sum gathers — O(buffer), no token loop;
+  4. int/float values via `np.add.reduceat` positional digit assembly;
+  5. the logtype column is the buffer itself with each variable span
+     collapsed to its placeholder byte, then split back on NUL.
+
+Rows whose text contains placeholder/escape bytes (0x11 0x12 0x13 '\\') or
+NUL fall back to the scalar encoder — they need in-place escaping
+(reference clp/ir/parsing.inc:12-33) and are rare by construction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .tokenizer import (
+    PLACEHOLDER_DICT,
+    PLACEHOLDER_FLOAT,
+    PLACEHOLDER_INT,
+    VT_DICT,
+    VT_FLOAT,
+    VT_INT,
+    encode_text,
+)
+
+_TOKEN_BYTES = b"+-.\\_0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+
+_IS_TOKEN = np.zeros(256, dtype=bool)
+_IS_TOKEN[list(_TOKEN_BYTES)] = True
+_IS_DIGIT = np.zeros(256, dtype=bool)
+_IS_DIGIT[list(b"0123456789")] = True
+_IS_ALPHA = np.zeros(256, dtype=bool)
+_IS_ALPHA[list(b"ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz")] = True
+_IS_HEX = np.zeros(256, dtype=bool)
+_IS_HEX[list(b"0123456789abcdefABCDEF")] = True
+_IS_DOT = np.zeros(256, dtype=bool)
+_IS_DOT[ord(".")] = True
+_IS_MINUS = np.zeros(256, dtype=bool)
+_IS_MINUS[ord("-")] = True
+
+_POW10 = np.power(np.int64(10), np.arange(19, dtype=np.int64))
+
+# Rows containing these bytes take the scalar path (constant-text escaping).
+_IS_SCALAR_BYTE = np.zeros(256, dtype=bool)
+_IS_SCALAR_BYTE[[0x00, 0x11, 0x12, 0x13, ord("\\")]] = True
+
+_INT64_MAX = (1 << 63) - 1
+_INT64_MIN = -(1 << 63)
+
+
+def _ranges(counts: np.ndarray) -> np.ndarray:
+    """[3,2] -> [0,1,2,0,1] (per-group arange), standard cumsum trick."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+
+
+def _prefix(cls: np.ndarray, buf: np.ndarray) -> np.ndarray:
+    """Exclusive prefix sums of class membership: out[i] = #matches in buf[:i]."""
+    out = np.zeros(len(buf) + 1, dtype=np.int64)
+    np.cumsum(cls[buf], out=out[1:])
+    return out
+
+
+def _split_lists(values: np.ndarray, row_of: np.ndarray, n_rows: int) -> list:
+    """Group position-sorted per-token values into one Python list per row."""
+    counts = np.bincount(row_of, minlength=n_rows)
+    offs = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+    vals = values.tolist()
+    offs_l = offs.tolist()
+    return [vals[a:b] for a, b in zip(offs_l, offs_l[1:])]
+
+
+def encode_batch(texts: pd.Series) -> pd.DataFrame:
+    """Encode a Series of messages -> DataFrame(logtype, var_types,
+    dict_vars, encoded_nums), vectorized. Drop-in equivalent of mapping the
+    scalar ``encode_text`` over the Series."""
+    n = len(texts)
+    empty = ("", [], [], [])
+    if n == 0:
+        return pd.DataFrame(
+            {"logtype": [], "var_types": [], "dict_vars": [], "encoded_nums": []}
+        )
+
+    arr = texts.to_numpy(dtype=object, copy=False)
+    if texts.isna().any():
+        arr = np.where(pd.isna(arr), "", arr)
+
+    blist = [t.encode("utf-8", "surrogatepass") for t in arr]
+    lens = np.fromiter((len(b) for b in blist), count=n, dtype=np.int64)
+    joined = b"\x00".join(blist)
+    buf = np.frombuffer(joined, dtype=np.uint8)
+    row_start = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1] + 1, out=row_start[1:])
+
+    # Rows containing NUL / placeholder / escape bytes take the scalar path
+    # (they need in-place constant escaping). Detected on the joined buffer
+    # in one numpy pass — zero cost when there are none (the common case).
+    bad_pos = np.flatnonzero(_IS_SCALAR_BYTE[buf])
+    sep_pos = row_start[1:] - 1  # the NUL separators themselves
+    bad_pos = bad_pos[~np.isin(bad_pos, sep_pos)] if len(bad_pos) else bad_pos
+
+    out_logtype = np.empty(n, dtype=object)
+    out_vt = np.empty(n, dtype=object)
+    out_dv = np.empty(n, dtype=object)
+    out_en = np.empty(n, dtype=object)
+
+    if len(bad_pos):
+        bad_rows = np.unique(np.searchsorted(row_start, bad_pos, side="right") - 1)
+        for i in bad_rows:
+            lt, vt, dv, en = encode_text(arr[i])
+            out_logtype[i], out_vt[i], out_dv[i], out_en[i] = (
+                lt, list(vt), list(dv), list(en),
+            )
+        good = np.ones(n, dtype=bool)
+        good[bad_rows] = False
+        fast_pos = np.flatnonzero(good)
+        fast_blist = [blist[i] for i in fast_pos]
+        joined = b"\x00".join(fast_blist)
+        buf = np.frombuffer(joined, dtype=np.uint8)
+        lens = lens[fast_pos]
+        row_start = np.zeros(len(fast_pos), dtype=np.int64)
+        np.cumsum(lens[:-1] + 1, out=row_start[1:])
+    else:
+        fast_pos = None
+
+    if fast_pos is None or len(fast_pos):
+        n_fast = n if fast_pos is None else len(fast_pos)
+        lt_l, vt_l, dv_l, en_l = _encode_fast(joined, buf, row_start, n_fast)
+        pos = slice(None) if fast_pos is None else fast_pos
+        out_logtype[pos] = lt_l
+        out_vt[pos] = vt_l
+        out_dv[pos] = dv_l
+        out_en[pos] = en_l
+
+    return pd.DataFrame(
+        {
+            "logtype": out_logtype,
+            "var_types": out_vt,
+            "dict_vars": out_dv,
+            "encoded_nums": out_en,
+        },
+        index=texts.index,
+    )
+
+
+def _encode_fast(joined: bytes, buf: np.ndarray, row_start: np.ndarray, n: int):
+    """Vector path over rows guaranteed free of NUL/placeholder/escape bytes.
+
+    `joined` is the rows' UTF-8 bytes NUL-separated, `buf` its uint8 view,
+    `row_start[i]` the buffer offset of row i."""
+    # --- token spans ------------------------------------------------------
+    nb = len(buf)
+    if nb == 0:
+        return [""] * n, [[] for _ in range(n)], [[] for _ in range(n)], [[] for _ in range(n)]
+    mask = _IS_TOKEN[buf]
+    prev = np.empty(nb, dtype=bool)
+    prev[0] = False
+    prev[1:] = mask[:-1]
+    nxt = np.empty(nb, dtype=bool)
+    nxt[-1] = False
+    nxt[:-1] = mask[1:]
+    tok_s = np.flatnonzero(mask & ~prev)
+    tok_e = np.flatnonzero(mask & ~nxt) + 1
+
+    if len(tok_s) == 0:
+        return (
+            [b.decode("utf-8", "surrogatepass") for b in joined.split(b"\x00")],
+            [[] for _ in range(n)],
+            [[] for _ in range(n)],
+            [[] for _ in range(n)],
+        )
+
+    # --- per-token predicates (prefix-sum gathers) ------------------------
+    cdig = _prefix(_IS_DIGIT, buf)
+    calp = _prefix(_IS_ALPHA, buf)
+    chex = _prefix(_IS_HEX, buf)
+    cdot = _prefix(_IS_DOT, buf)
+    cmin = _prefix(_IS_MINUS, buf)
+
+    tlen = tok_e - tok_s
+    ndig = cdig[tok_e] - cdig[tok_s]
+    nalp = calp[tok_e] - calp[tok_s]
+    nhex = chex[tok_e] - chex[tok_s]
+    ndot = cdot[tok_e] - cdot[tok_s]
+    nmin = cmin[tok_e] - cmin[tok_s]
+
+    prev_eq = np.zeros(len(tok_s), dtype=bool)
+    nz = tok_s > 0
+    prev_eq[nz] = buf[tok_s[nz] - 1] == ord("=")
+
+    is_var = (ndig > 0) | (prev_eq & (nalp > 0)) | ((tlen >= 2) & (nhex == tlen))
+
+    first = buf[tok_s]
+    neg = first == ord("-")
+    negl = neg.astype(np.int64)
+
+    # canonical int64 (reference EncodedVariableInterpreter.cpp:24-61):
+    # optional leading '-', all digits, no leading zero (unless "0"), no "-0…"
+    int_form = is_var & ((ndig == tlen) | (neg & (ndig == tlen - 1) & (tlen >= 2)))
+    fd_pos = np.minimum(tok_s + negl, nb - 1)
+    lead_zero = buf[fd_pos] == ord("0")
+    int_form &= ~(lead_zero & ((tlen - negl) > 1))
+    int_form &= ~(neg & lead_zero)
+    big_int = int_form & (ndig > 18)  # may overflow int64 -> slow check
+    int_vec = int_form & ~big_int
+
+    # float form (reference :63-142): optional '-', exactly one '.', 1..16
+    # digits, nothing else, '.' not last.
+    min_ok = nmin == negl
+    float_form = (
+        is_var
+        & ~int_form
+        & (ndot == 1)
+        & (ndig >= 1)
+        & (ndig <= 16)
+        & (tlen == ndig + 1 + negl)
+        & min_ok
+        & (buf[tok_e - 1] != ord("."))
+    )
+
+    # --- int values via positional digit assembly -------------------------
+    int_vals = np.zeros(len(tok_s), dtype=np.int64)
+    ii = np.flatnonzero(int_vec)
+    if len(ii):
+        ds = tok_s[ii] + negl[ii]
+        de = tok_e[ii]
+        cnt = de - ds
+        idx = np.repeat(ds, cnt) + _ranges(cnt)
+        expo = np.repeat(de, cnt) - 1 - idx
+        contrib = (buf[idx].astype(np.int64) - 48) * _POW10[expo]
+        offs = np.zeros(len(ii), dtype=np.int64)
+        np.cumsum(cnt[:-1], out=offs[1:])
+        sums = np.add.reduceat(contrib, offs)
+        int_vals[ii] = np.where(neg[ii], -sums, sums)
+
+    # 19+ digit candidates: exact python check (rare)
+    for j in np.flatnonzero(big_int):
+        tok = joined[tok_s[j] : tok_e[j]].decode()
+        v = int(tok)
+        if _INT64_MIN <= v <= _INT64_MAX:
+            int_vals[j] = v
+            int_vec[j] = True
+        # else: not an int; also not a float (no '.') -> dictionary var
+
+    int_form = int_vec | (big_int & int_vec)
+
+    # --- float encodings (1 sign | 1 unused | 54 digits | 4 #digits-1 |
+    # 4 decimal-pos-1) ------------------------------------------------------
+    float_vals = np.zeros(len(tok_s), dtype=np.int64)
+    fi = np.flatnonzero(float_form)
+    if len(fi):
+        ds = tok_s[fi] + negl[fi]
+        de = tok_e[fi]
+        cnt = de - ds
+        idx = np.repeat(ds, cnt) + _ranges(cnt)
+        # exponent of each digit = #digits strictly after it in the token
+        expo = np.repeat(cdig[de], cnt) - cdig[idx + 1]
+        isd = _IS_DIGIT[buf[idx]]
+        contrib = np.where(isd, (buf[idx].astype(np.int64) - 48) * _POW10[expo], 0)
+        offs = np.zeros(len(fi), dtype=np.int64)
+        np.cumsum(cnt[:-1], out=offs[1:])
+        digits = np.add.reduceat(contrib, offs)
+        # dot position: sum(idx * is_dot) per token == the single dot's index
+        dotpos_contrib = np.where(_IS_DOT[buf[idx]], idx, 0)
+        dot_idx = np.add.reduceat(dotpos_contrib, offs)
+        dpos = (de - 1) - dot_idx  # distance of '.' from right end
+        u = (
+            (neg[fi].astype(np.uint64) << np.uint64(63))
+            | (digits.astype(np.uint64) << np.uint64(8))
+            | ((ndig[fi] - 1).astype(np.uint64) << np.uint64(4))
+            | (dpos - 1).astype(np.uint64)
+        )
+        float_vals[fi] = u.view(np.int64)
+
+    dict_form = is_var & ~int_form & ~float_form
+
+    # --- outputs per variable token ---------------------------------------
+    v_idx = np.flatnonzero(is_var)
+    v_types = np.full(len(v_idx), VT_DICT, dtype=np.int64)
+    v_types[int_form[v_idx]] = VT_INT
+    v_types[float_form[v_idx]] = VT_FLOAT
+
+    v_nums = np.empty(len(v_idx), dtype=object)
+    v_nums[:] = None
+    im = int_form[v_idx]
+    fm = float_form[v_idx]
+    v_nums[im] = int_vals[v_idx][im].tolist()
+    v_nums[fm] = float_vals[v_idx][fm].tolist()
+
+    d_idx = np.flatnonzero(dict_form)
+    dict_strs = np.empty(len(d_idx), dtype=object)
+    for k, j in enumerate(d_idx):
+        dict_strs[k] = joined[tok_s[j] : tok_e[j]].decode("utf-8")
+
+    # --- logtype assembly: collapse each var span to its placeholder ------
+    out = buf.copy()
+    ph = np.full(len(v_idx), ord(PLACEHOLDER_DICT), dtype=np.uint8)
+    ph[v_types == VT_INT] = ord(PLACEHOLDER_INT)
+    ph[v_types == VT_FLOAT] = ord(PLACEHOLDER_FLOAT)
+    out[tok_s[v_idx]] = ph
+    keep = np.ones(nb, dtype=bool)
+    span_len = tlen[v_idx] - 1
+    multi = span_len > 0
+    if multi.any():
+        ms = tok_s[v_idx][multi] + 1
+        mc = span_len[multi]
+        kill = np.repeat(ms, mc) + _ranges(mc)
+        keep[kill] = False
+    logtypes = [b.decode("utf-8", "surrogatepass") for b in out[keep].tobytes().split(b"\x00")]
+
+    # --- group per row ----------------------------------------------------
+    row_of_var = np.searchsorted(row_start, tok_s[v_idx], side="right") - 1
+    row_of_dict = np.searchsorted(row_start, tok_s[d_idx], side="right") - 1
+    vt_l = _split_lists(v_types, row_of_var, n)
+    en_l = _split_lists(v_nums, row_of_var, n)
+    dv_l = _split_lists(dict_strs, row_of_dict, n)
+    return logtypes, vt_l, dv_l, en_l
