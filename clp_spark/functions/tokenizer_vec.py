@@ -86,6 +86,19 @@ def _prefix(cls: np.ndarray, buf: np.ndarray) -> np.ndarray:
     return out
 
 
+def _slots_from_types(var_types) -> list:
+    """dict_slots for one row from its var_types (scalar-path helper)."""
+    out = []
+    d = 0
+    for t in var_types:
+        if t == VT_DICT:
+            out.append(d)
+            d += 1
+        else:
+            out.append(-1)
+    return out
+
+
 def _split_lists(values: np.ndarray, row_of: np.ndarray, n_rows: int) -> list:
     """Group position-sorted per-token values into one Python list per row."""
     counts = np.bincount(row_of, minlength=n_rows)
@@ -98,13 +111,18 @@ def _split_lists(values: np.ndarray, row_of: np.ndarray, n_rows: int) -> list:
 
 def encode_batch(texts: pd.Series) -> pd.DataFrame:
     """Encode a Series of messages -> DataFrame(logtype, var_types,
-    dict_vars, encoded_nums), vectorized. Drop-in equivalent of mapping the
-    scalar ``encode_text`` over the Series."""
+    dict_vars, encoded_nums, dict_slots), vectorized. dict_slots[i] is the
+    index into dict_vars for variable slot i (-1 for int/float slots)."""
     n = len(texts)
-    empty = ("", [], [], [])
     if n == 0:
         return pd.DataFrame(
-            {"logtype": [], "var_types": [], "dict_vars": [], "encoded_nums": []}
+            {
+                "logtype": [],
+                "var_types": [],
+                "dict_vars": [],
+                "encoded_nums": [],
+                "dict_slots": [],
+            }
         )
 
     arr = texts.to_numpy(dtype=object, copy=False)
@@ -129,6 +147,7 @@ def encode_batch(texts: pd.Series) -> pd.DataFrame:
     out_vt = np.empty(n, dtype=object)
     out_dv = np.empty(n, dtype=object)
     out_en = np.empty(n, dtype=object)
+    out_sl = np.empty(n, dtype=object)
 
     if len(bad_pos):
         bad_rows = np.unique(np.searchsorted(row_start, bad_pos, side="right") - 1)
@@ -137,6 +156,7 @@ def encode_batch(texts: pd.Series) -> pd.DataFrame:
             out_logtype[i], out_vt[i], out_dv[i], out_en[i] = (
                 lt, list(vt), list(dv), list(en),
             )
+            out_sl[i] = _slots_from_types(vt)
         good = np.ones(n, dtype=bool)
         good[bad_rows] = False
         fast_pos = np.flatnonzero(good)
@@ -151,12 +171,13 @@ def encode_batch(texts: pd.Series) -> pd.DataFrame:
 
     if fast_pos is None or len(fast_pos):
         n_fast = n if fast_pos is None else len(fast_pos)
-        lt_l, vt_l, dv_l, en_l = _encode_fast(joined, buf, row_start, n_fast)
+        lt_l, vt_l, dv_l, en_l, sl_l = _encode_fast(joined, buf, row_start, n_fast)
         pos = slice(None) if fast_pos is None else fast_pos
         out_logtype[pos] = lt_l
         out_vt[pos] = vt_l
         out_dv[pos] = dv_l
         out_en[pos] = en_l
+        out_sl[pos] = sl_l
 
     return pd.DataFrame(
         {
@@ -164,6 +185,7 @@ def encode_batch(texts: pd.Series) -> pd.DataFrame:
             "var_types": out_vt,
             "dict_vars": out_dv,
             "encoded_nums": out_en,
+            "dict_slots": out_sl,
         },
         index=texts.index,
     )
@@ -177,7 +199,8 @@ def _encode_fast(joined: bytes, buf: np.ndarray, row_start: np.ndarray, n: int):
     # --- token spans ------------------------------------------------------
     nb = len(buf)
     if nb == 0:
-        return [""] * n, [[] for _ in range(n)], [[] for _ in range(n)], [[] for _ in range(n)]
+        e = [[] for _ in range(4 * n)]
+        return [""] * n, e[:n], e[n : 2 * n], e[2 * n : 3 * n], e[3 * n :]
     mask = _IS_TOKEN[buf]
     prev = np.empty(nb, dtype=bool)
     prev[0] = False
@@ -191,6 +214,7 @@ def _encode_fast(joined: bytes, buf: np.ndarray, row_start: np.ndarray, n: int):
     if len(tok_s) == 0:
         return (
             [b.decode("utf-8", "surrogatepass") for b in joined.split(b"\x00")],
+            [[] for _ in range(n)],
             [[] for _ in range(n)],
             [[] for _ in range(n)],
             [[] for _ in range(n)],
@@ -318,6 +342,15 @@ def _encode_fast(joined: bytes, buf: np.ndarray, row_start: np.ndarray, n: int):
     for k, j in enumerate(d_idx):
         dict_strs[k] = joined[tok_s[j] : tok_e[j]].decode("utf-8")
 
+    # per-variable slot index into the row's dict_vars (-1 for int/float
+    # slots) — lets the JVM merge dict ids into encoded_vars with a cheap
+    # transform instead of a stateful aggregate.
+    row_of_dict = np.searchsorted(row_start, tok_s[d_idx], side="right") - 1
+    v_slots = np.full(len(v_idx), -1, dtype=np.int64)
+    if len(d_idx):
+        within_row_rank = _ranges(np.bincount(row_of_dict)[np.unique(row_of_dict)])
+        v_slots[np.searchsorted(v_idx, d_idx)] = within_row_rank
+
     # --- logtype assembly: collapse each var span to its placeholder ------
     out = buf.copy()
     ph = np.full(len(v_idx), ord(PLACEHOLDER_DICT), dtype=np.uint8)
@@ -336,8 +369,8 @@ def _encode_fast(joined: bytes, buf: np.ndarray, row_start: np.ndarray, n: int):
 
     # --- group per row ----------------------------------------------------
     row_of_var = np.searchsorted(row_start, tok_s[v_idx], side="right") - 1
-    row_of_dict = np.searchsorted(row_start, tok_s[d_idx], side="right") - 1
     vt_l = _split_lists(v_types, row_of_var, n)
     en_l = _split_lists(v_nums, row_of_var, n)
+    sl_l = _split_lists(v_slots, row_of_var, n)
     dv_l = _split_lists(dict_strs, row_of_dict, n)
-    return logtypes, vt_l, dv_l, en_l
+    return logtypes, vt_l, dv_l, en_l, sl_l

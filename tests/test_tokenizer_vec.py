@@ -58,7 +58,7 @@ def assert_frames_equal(texts: list[str]) -> None:
     s = pd.Series(texts, dtype=object)
     got = encode_batch(s)
     want = encode_series_scalar(s)
-    for col in ("logtype", "var_types", "dict_vars", "encoded_nums"):
+    for col in ("logtype", "var_types", "dict_vars", "encoded_nums", "dict_slots"):
         assert list(got[col]) == list(want[col]), (
             f"column {col} diverged.\n texts={texts}\n got={list(got[col])}\n"
             f" want={list(want[col])}"
