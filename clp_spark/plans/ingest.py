@@ -1,0 +1,307 @@
+"""The end-to-end CLP-style ingest job: parse -> encode -> enrich -> route ->
+aggregate, with checkpoint/resume, per-partition lineage, and metrics.
+
+Reference shape (SURVEY.md §3.1): clp's compression path writes an archive =
+{encoded messages, logtype dictionary, variable dictionary} plus metadata;
+the distributed package adds resumable per-task state in a metadata DB
+(scheduler/compress/compression_scheduler.py:230+, partition.py:16-107) and
+the reducer aggregates counts (reducer/CountOperator.cpp:4-41).
+
+Spark-first re-expression — one ingest() call produces SINKS:
+
+  out/messages/        encoded turns, hash-partitioned by logtype_bucket
+                       (glt-style per-logtype routing, glt/.../LogtypeTable.hpp)
+  out/logtype_dict/    (logtype_id, logtype, n_messages)
+  out/var_dict/        (var_id, var_str, n_occurrences)
+  out/counts_logtype/  per-logtype counts     (north-star aggregate parity)
+  out/counts_tool/     per-tool counts
+  out/counts_conv/     per-conversation counts
+  out/lineage/         per-bucket row/file lineage for the messages sink
+  out/_manifest.json   completed-step checkpoint + metrics
+
+Design-for-scale notes:
+  * The messages write is SHUFFLE-FREE: rows get a logtype_bucket column and
+    each task writes its own per-bucket files (sortWithinPartitions groups a
+    task's rows so each task opens one file per bucket at a time). A hot
+    logtype therefore spreads across ALL input tasks instead of hammering
+    one reducer — routing skew simply cannot happen, which beats
+    repartition+AQE for a Zipfian logtype distribution. Small files are
+    handled by compact_bucket() (size-tiered merge, the analog of glt's
+    combined tables, glt/.../GLTSegment.hpp:83-113).
+  * Dictionary builds are groupBys with map-side partial aggregation — the
+    shuffle carries only per-partition distinct partials (tiny), like the
+    reference's inter-stage vs intra-stage CountOperator split.
+  * Each step commits via staging-dir + atomic rename and is recorded in
+    the manifest; re-running ingest() skips completed steps (idempotent,
+    no append-on-retry double counting). This is the filesystem analog of
+    Iceberg snapshot/WAP commits — swap _commit() for an Iceberg
+    `writeTo(...).overwritePartitions()` on a real cluster.
+  * Metrics come from pyspark.sql.Observation on the messages scan (row
+    counts observed during the write, no extra pass) and land in the
+    manifest.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from . import pipeline as P
+
+MANIFEST = "_manifest.json"
+
+MESSAGE_COLUMNS = [
+    "conv_id", "turn_idx", "ts", "role", "tool",
+    "logtype_id", "encoded_vars", "dict_var_ids",
+]
+
+
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, MANIFEST)
+
+
+def read_manifest(out_dir: str) -> dict:
+    p = _manifest_path(out_dir)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return {"steps": {}, "metrics": {}}
+
+
+def _write_manifest(out_dir: str, manifest: dict) -> None:
+    tmp = _manifest_path(out_dir) + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    os.replace(tmp, _manifest_path(out_dir))
+
+
+def _commit(df_writer_fn, out_dir: str, step: str, step_secs: dict | None = None) -> str:
+    """Write a step to a staging dir, then atomically rename into place.
+
+    Filesystem stand-in for an Iceberg snapshot commit: a crashed write
+    leaves only staging garbage, never a half-visible sink; retries are
+    idempotent (stale staging dirs are removed first).
+    """
+    t0 = time.time()
+    final = os.path.join(out_dir, step)
+    staging = os.path.join(out_dir, "_staging", step)
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(final, ignore_errors=True)
+    df_writer_fn(staging)
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    os.replace(staging, final)
+    if step_secs is not None:
+        step_secs[step] = round(time.time() - t0, 3)
+    return final
+
+
+def ingest(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    *,
+    dim_role: DataFrame | None = None,
+    dim_tool: DataFrame | None = None,
+    n_buckets: int = 16,
+    resume: bool = True,
+    cache_parsed: bool = True,
+    only_steps: set[str] | None = None,
+) -> dict:
+    """Run the full ingest job. Returns the manifest (steps + metrics).
+
+    Resumable: completed steps recorded in out/_manifest.json are skipped
+    (pass resume=False to force a full rebuild). `cache_parsed` persists the
+    parsed DataFrame across the sink jobs — right for memory-sized runs; at
+    cluster scale prefer StorageLevel.DISK_ONLY or accept a second parse
+    pass (both keep parallel efficiency; see bench.py). `only_steps`
+    restricts the run to a subset of steps (e.g. {"messages"} for the
+    parsed+routed scaling probe).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = read_manifest(out_dir) if resume else {"steps": {}, "metrics": {}}
+    steps = manifest["steps"]
+    step_secs = manifest["metrics"].setdefault("step_secs", {})
+    t_start = time.time()
+
+    parsed = P.parse_encode(transcripts)
+    enriched = None
+    if dim_role is not None and dim_tool is not None:
+        enriched = P.enrich(parsed, dim_role, dim_tool)
+    # Only the columns the dictionary builds still need after the messages
+    # write; everything else is either in the sink (count sinks re-read it
+    # column-pruned — cheaper than scanning a fat cache) or derivable.
+    dict_src = parsed.select("logtype", "logtype_id", "dict_vars")
+    cache_parsed = cache_parsed and (
+        only_steps is None or bool({"logtype_dict", "var_dict"} & only_steps)
+    )
+    if cache_parsed:
+        dict_src = dict_src.persist()
+
+    msgs_dir = os.path.join(out_dir, "messages")
+
+    def sink(*cols):
+        return spark.read.parquet(msgs_dir).select(*cols)
+
+    def want(step):
+        return (only_steps is None or step in only_steps) and step not in steps
+
+    try:
+        if want("messages"):
+            obs = Observation("ingest_messages")
+            src = enriched if enriched is not None else parsed
+            msgs = (
+                src.withColumn(
+                    "logtype_bucket",
+                    F.pmod(F.col("logtype_id"), F.lit(n_buckets)).cast("int"),
+                )
+                .select(*MESSAGE_COLUMNS, "logtype_bucket")
+                .observe(obs, F.count(F.lit(1)).alias("n_turns"))
+            )
+            _commit(
+                lambda d: msgs.sortWithinPartitions("logtype_bucket")
+                .write.mode("overwrite")
+                .partitionBy("logtype_bucket")
+                .parquet(d),
+                out_dir,
+                "messages",
+                step_secs,
+            )
+            steps["messages"] = {"n_turns": obs.get["n_turns"]}
+            manifest["metrics"]["n_turns"] = obs.get["n_turns"]
+            _write_manifest(out_dir, manifest)
+
+        if want("logtype_dict"):
+            _commit(
+                lambda d: dict_src.groupBy("logtype_id", "logtype")
+                .agg(F.count(F.lit(1)).alias("n_messages"))
+                .write.mode("overwrite")
+                .parquet(d),
+                out_dir,
+                "logtype_dict",
+                step_secs,
+            )
+            steps["logtype_dict"] = True
+            _write_manifest(out_dir, manifest)
+
+        if want("var_dict"):
+            _commit(
+                lambda d: dict_src.select(F.explode("dict_vars").alias("var_str"))
+                .groupBy("var_str")
+                .agg(F.count(F.lit(1)).alias("n_occurrences"))
+                .select(F.xxhash64("var_str").alias("var_id"), "var_str", "n_occurrences")
+                .write.mode("overwrite")
+                .parquet(d),
+                out_dir,
+                "var_dict",
+                step_secs,
+            )
+            steps["var_dict"] = True
+            _write_manifest(out_dir, manifest)
+
+        # Count sinks + lineage are derived from the MESSAGES SINK with
+        # column-pruned scans (the reducer re-expressed: partial agg on
+        # executors, final agg after a tiny shuffle).
+        lt_dict = (
+            spark.read.parquet(os.path.join(out_dir, "logtype_dict"))
+            if want("counts_logtype")
+            else None
+        )
+
+        builders = {
+            "counts_logtype": lambda: sink("logtype_id")
+            .groupBy("logtype_id")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .join(F.broadcast(lt_dict.select("logtype_id", "logtype")), "logtype_id")
+            .select("logtype", "cnt"),
+            "counts_tool": lambda: sink("tool")
+            .groupBy("tool")
+            .agg(F.count(F.lit(1)).alias("cnt")),
+            "counts_conv": lambda: sink("conv_id", "ts")
+            .groupBy("conv_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_turns"),
+                F.min(P.ts_millis("ts")).alias("first_ts_ms"),
+                F.max(P.ts_millis("ts")).alias("last_ts_ms"),
+            ),
+            "lineage": lambda: sink("logtype_bucket")
+            .groupBy("logtype_bucket")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .withColumn("n_files", _bucket_file_counts_udf(msgs_dir)("logtype_bucket")),
+        }
+        for step, build in builders.items():
+            if not want(step):
+                continue
+            df = build()
+            _commit(
+                lambda d, df=df: df.write.mode("overwrite").parquet(d),
+                out_dir,
+                step,
+                step_secs,
+            )
+            steps[step] = True
+            _write_manifest(out_dir, manifest)
+    finally:
+        if cache_parsed:
+            dict_src.unpersist()
+
+    manifest["metrics"]["wall_sec"] = round(time.time() - t_start, 3)
+    _write_manifest(out_dir, manifest)
+    return manifest
+
+
+def _bucket_file_counts_udf(msgs_dir: str):
+    """File counts per bucket from a directory listing (driver-side
+    metadata, no data scan) exposed as a tiny lookup udf."""
+    counts = {}
+    for d in os.listdir(msgs_dir):
+        if d.startswith("logtype_bucket="):
+            b = int(d.split("=", 1)[1])
+            counts[b] = sum(
+                1 for f in os.listdir(os.path.join(msgs_dir, d)) if f.endswith(".parquet")
+            )
+
+    def make(col):
+        mapping = F.create_map(
+            *[F.lit(x) for kv in counts.items() for x in kv]
+        ) if counts else F.create_map()
+        return mapping[F.col(col)]
+
+    return make
+
+
+def compact_bucket(
+    spark: SparkSession, out_dir: str, bucket: int, target_files: int = 1
+) -> None:
+    """Size-tiered compaction of one logtype bucket (analog of glt packing
+    small per-logtype tables into combined tables). Rewrites the bucket's
+    files into `target_files` files via staging + atomic rename."""
+    bucket_dir = os.path.join(out_dir, "messages", f"logtype_bucket={bucket}")
+    staging = bucket_dir + ".compact"
+    shutil.rmtree(staging, ignore_errors=True)
+    (
+        spark.read.parquet(bucket_dir)
+        .coalesce(target_files)
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    old = bucket_dir + ".old"
+    os.replace(bucket_dir, old)
+    os.replace(staging, bucket_dir)
+    shutil.rmtree(old)
+
+
+def decode_archive(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Round-trip decode of an ingested archive back to original text
+    (reference FileDecompressor / JsonConstructor analog): messages ⋈
+    logtype_dict ⋈ var_dict -> (conv_id, turn_idx, text), stable
+    (conv_id, turn_idx) ordering restored by the caller's sort."""
+    msgs = spark.read.parquet(os.path.join(out_dir, "messages"))
+    lt = spark.read.parquet(os.path.join(out_dir, "logtype_dict"))
+    vd = spark.read.parquet(os.path.join(out_dir, "var_dict"))
+    return P.decode_messages(msgs, lt, vd)

@@ -39,6 +39,11 @@ def get_spark(
         # scan parallelism: default 128 MiB splits are right for 100 TB;
         # keep them so the same code scales down locally via AQE coalesce
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # count(*)/min/max answered from parquet footers where possible
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # task-side output commit (no serial driver-side rename storm for
+        # many-file partitioned writes)
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

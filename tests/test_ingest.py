@@ -1,0 +1,135 @@
+"""End-to-end ingest job: sink parity, resume-from-checkpoint, round-trip."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from clp_spark.plans import ingest as I
+from clp_spark.plans import pipeline as P
+from clp_spark.sources.transcripts import dim_role, dim_tool, load_transcripts
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def archive(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("archive"))
+    t = load_transcripts(spark, SF_DIR)
+    manifest = I.ingest(
+        spark, t, out, dim_role=dim_role(spark), dim_tool=dim_tool(spark)
+    )
+    return out, manifest
+
+
+def test_sink_count_parity(spark, archive):
+    out, manifest = archive
+    t = load_transcripts(spark, SF_DIR)
+    n = t.count()
+    assert manifest["metrics"]["n_turns"] == n
+
+    msgs = spark.read.parquet(os.path.join(out, "messages"))
+    assert msgs.count() == n
+
+    # routed-row equality: every (conv_id, turn_idx) lands in exactly the
+    # bucket derived from its logtype hash
+    parsed = P.parse_encode(t)
+    expect = parsed.select(
+        "conv_id", "turn_idx", F.pmod("logtype_id", F.lit(16)).cast("int").alias("b")
+    )
+    got = msgs.select("conv_id", "turn_idx", F.col("logtype_bucket").alias("b"))
+    assert expect.exceptAll(got).count() == 0 and got.exceptAll(expect).count() == 0
+
+    # aggregate sinks match direct recomputation
+    cl = spark.read.parquet(os.path.join(out, "counts_logtype"))
+    direct = P.per_logtype_counts(parsed)
+    assert sorted(map(tuple, cl.collect())) == sorted(map(tuple, direct.collect()))
+
+    # lineage covers every bucket and sums to n
+    lin = spark.read.parquet(os.path.join(out, "lineage"))
+    rows = {r["logtype_bucket"]: r["n_rows"] for r in lin.collect()}
+    assert sum(rows.values()) == n
+    buckets = {r["logtype_bucket"] for r in msgs.select("logtype_bucket").distinct().collect()}
+    assert set(rows) == buckets
+
+
+def test_roundtrip_decode(spark, archive):
+    out, _ = archive
+    t = load_transcripts(spark, SF_DIR)
+    dec = I.decode_archive(spark, out).withColumnRenamed("text", "dec_text")
+    joined = dec.join(t.select("conv_id", "turn_idx", "text"), ["conv_id", "turn_idx"])
+    assert joined.count() == t.count()
+    assert joined.filter("dec_text != text").count() == 0
+
+
+def test_resume_skips_completed_steps(spark, archive):
+    out, _ = archive
+    manifest = I.read_manifest(out)
+    # mark a sink step incomplete and delete it; resume should rebuild ONLY it
+    del manifest["steps"]["counts_conv"]
+    I._write_manifest(out, manifest)
+    shutil.rmtree(os.path.join(out, "counts_conv"))
+    before_msgs_mtime = os.path.getmtime(os.path.join(out, "messages"))
+
+    t = load_transcripts(spark, SF_DIR)
+    m2 = I.ingest(spark, t, out, dim_role=dim_role(spark), dim_tool=dim_tool(spark))
+    assert "counts_conv" in m2["steps"]
+    assert os.path.getmtime(os.path.join(out, "messages")) == before_msgs_mtime
+    cc = spark.read.parquet(os.path.join(out, "counts_conv"))
+    assert cc.count() == t.select("conv_id").distinct().count()
+
+
+def test_crash_leaves_no_partial_sink(spark, tmp_path):
+    out = str(tmp_path / "arch")
+    t = load_transcripts(spark, SF_DIR)
+
+    boom = RuntimeError("injected")
+    orig = I._commit
+    calls = {"n": 0}
+
+    def failing_commit(fn, out_dir, step):
+        calls["n"] += 1
+        if step == "logtype_dict":
+            raise boom
+        return orig(fn, out_dir, step)
+
+    I._commit = failing_commit
+    try:
+        with pytest.raises(RuntimeError):
+            I.ingest(spark, t, out)
+    finally:
+        I._commit = orig
+
+    # messages committed, logtype_dict absent (not half-written), manifest
+    # reflects exactly the completed steps
+    assert os.path.isdir(os.path.join(out, "messages"))
+    assert not os.path.isdir(os.path.join(out, "logtype_dict"))
+    m = I.read_manifest(out)
+    assert "messages" in m["steps"] and "logtype_dict" not in m["steps"]
+
+    # resume completes the job without rewriting messages
+    mtime = os.path.getmtime(os.path.join(out, "messages"))
+    I.ingest(spark, t, out)
+    assert os.path.getmtime(os.path.join(out, "messages")) == mtime
+    assert os.path.isdir(os.path.join(out, "logtype_dict"))
+
+
+def test_compaction_preserves_rows(spark, archive):
+    out, _ = archive
+    msgs_dir = os.path.join(out, "messages")
+    buckets = [
+        int(d.split("=")[1])
+        for d in os.listdir(msgs_dir)
+        if d.startswith("logtype_bucket=")
+    ]
+    b = buckets[0]
+    bucket_dir = os.path.join(msgs_dir, f"logtype_bucket={b}")
+    before = spark.read.parquet(bucket_dir).count()
+    I.compact_bucket(spark, out, b, target_files=1)
+    files = [f for f in os.listdir(bucket_dir) if f.endswith(".parquet")]
+    assert len(files) == 1
+    assert spark.read.parquet(bucket_dir).count() == before
