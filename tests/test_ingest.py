@@ -91,11 +91,11 @@ def test_crash_leaves_no_partial_sink(spark, tmp_path):
     orig = I._commit
     calls = {"n": 0}
 
-    def failing_commit(fn, out_dir, step):
+    def failing_commit(fn, out_dir, step, *args, **kwargs):
         calls["n"] += 1
         if step == "logtype_dict":
             raise boom
-        return orig(fn, out_dir, step)
+        return orig(fn, out_dir, step, *args, **kwargs)
 
     I._commit = failing_commit
     try:
