@@ -18,7 +18,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from clp_spark.plans import pipeline as P
-from clp_spark.plans.grep import normalize_query, search
+from clp_spark.plans.grep import (
+    normalize_query,
+    search,
+    search_count,
+    search_count_by_time,
+)
 from clp_spark.plans.kql import kql_filter
 from clp_spark.functions.wildcard import wildcard_to_regex
 from clp_spark.functions import text_metrics as TM
@@ -37,6 +42,8 @@ from clp_spark.sources.transcripts import (
 
 SEARCH_SUBSTRING = "commit BEEF"          # implicit *q* (text-search default)
 SEARCH_WILDCARD = "used 1* of * GB*"      # explicit wildcards
+SEARCH_VAR_QUERY = "used 123 of "         # exercises encoded-var seq prune
+SEARCH_CI_QUERY = "COMMIT beef"           # exercises --ignore-case
 KQL_QUERY = "tool: search AND turn_idx > 4 AND NOT role: user"
 JACCARD_K = 3
 JACCARD_THRESHOLD = 0.12
@@ -95,11 +102,18 @@ def q_roundtrip_mismatches(spark, sf_dir):
     return mism.agg(F.count("*").alias("mismatches"))
 
 
-def _search(spark, sf_dir, query):
+def _encoded(spark, sf_dir):
     parsed = P.parse_encode(load_transcripts(spark, sf_dir))
-    msgs = P.encoded_messages(parsed)
-    lt, vd = P.build_logtype_dict(parsed), P.build_var_dict(parsed)
-    return search(msgs, lt, vd, query).select("conv_id", "turn_idx")
+    return (
+        P.encoded_messages(parsed),
+        P.build_logtype_dict(parsed),
+        P.build_var_dict(parsed),
+    )
+
+
+def _search(spark, sf_dir, query, **kw):
+    msgs, lt, vd = _encoded(spark, sf_dir)
+    return search(msgs, lt, vd, query, **kw).select("conv_id", "turn_idx")
 
 
 def q_search_substring(spark, sf_dir):
@@ -110,9 +124,60 @@ def q_search_wildcard(spark, sf_dir):
     return _search(spark, sf_dir, SEARCH_WILDCARD)
 
 
+def q_search_var_prune(spark, sf_dir):
+    return _search(spark, sf_dir, SEARCH_VAR_QUERY, prune_vars=True)
+
+
+def q_search_ci(spark, sf_dir):
+    return _search(spark, sf_dir, SEARCH_CI_QUERY, ignore_case=True)
+
+
+def q_search_count(spark, sf_dir):
+    msgs, lt, vd = _encoded(spark, sf_dir)
+    return search_count(msgs, lt, vd, SEARCH_WILDCARD)
+
+
+def q_search_count_by_time(spark, sf_dir):
+    msgs, lt, vd = _encoded(spark, sf_dir)
+    return search_count_by_time(msgs, lt, vd, SEARCH_SUBSTRING, bucket_ms=3_600_000)
+
+
 def q_kql_filter(spark, sf_dir):
     t = load_transcripts(spark, sf_dir)
     return kql_filter(t, KQL_QUERY).select("conv_id", "turn_idx")
+
+
+def _json_parsed(spark, sf_dir):
+    from clp_spark.plans.semistructured import ingest_json
+    from clp_spark.sources.jsonlogs import load_jsonlogs
+
+    return ingest_json(spark, load_jsonlogs(spark, sf_dir))
+
+
+def q_json_schema_counts(spark, sf_dir):
+    """clp_s schema interning: records grouped by present-key-set schema
+    (reference clp_s/SchemaMap.hpp:10-23)."""
+    return _json_parsed(spark, sf_dir).groupBy("schema_keys").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def q_json_kql_error(spark, sf_dir):
+    """KQL over typed nested columns (clp_s search analog)."""
+    flat = _json_parsed(spark, sf_dir).select("event_id", "rec.*")
+    return kql_filter(flat, "level: ERROR AND err.code >= 3").select("event_id")
+
+
+def q_json_latency_by_level(spark, sf_dir):
+    flat = _json_parsed(spark, sf_dir).select("rec.*")
+    return (
+        flat.filter(F.col("latency_ms").isNotNull())
+        .groupBy("level")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.avg("latency_ms"), 4).alias("avg_latency"),
+        )
+    )
 
 
 def q_q1_lineitem(spark, sf_dir):
@@ -223,7 +288,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_mismatches": q_roundtrip_mismatches,
         "search_substring": q_search_substring,
         "search_wildcard": q_search_wildcard,
+        "search_var_prune": q_search_var_prune,
+        "search_ci": q_search_ci,
+        "search_count": q_search_count,
+        "search_count_by_time": q_search_count_by_time,
         "kql_filter": q_kql_filter,
+        "json_schema_counts": q_json_schema_counts,
+        "json_kql_error": q_json_kql_error,
+        "json_latency_by_level": q_json_latency_by_level,
         "q1_lineitem": q_q1_lineitem,
         "top_orders": q_top_orders,
         "nation_order_counts": q_nation_order_counts,
@@ -244,6 +316,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ----------------------------------------------------------------- oracles --
 
 _CTE = transcripts_cte()
+
+from clp_spark.sources.jsonlogs import jsonlogs_cte
+
+_JSON_CTE = jsonlogs_cte()
 
 _SEARCH_ORACLE = (
     _CTE
@@ -368,10 +444,51 @@ def oracle_sql() -> dict[str, str]:
         "search_wildcard": _SEARCH_ORACLE.format(
             rx=wildcard_to_regex(normalize_query(SEARCH_WILDCARD))
         ),
+        "search_var_prune": _SEARCH_ORACLE.format(
+            rx=wildcard_to_regex(normalize_query(SEARCH_VAR_QUERY))
+        ),
+        "search_ci": _SEARCH_ORACLE.format(
+            rx="(?i)" + wildcard_to_regex(normalize_query(SEARCH_CI_QUERY))
+        ),
+        "search_count": (
+            _CTE
+            + "SELECT count(*) AS cnt FROM transcripts WHERE regexp_matches(text, '{rx}')".format(
+                rx=wildcard_to_regex(normalize_query(SEARCH_WILDCARD))
+            )
+        ),
+        "search_count_by_time": (
+            _CTE
+            + "SELECT (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms, count(*) AS cnt "
+              "FROM transcripts WHERE regexp_matches(text, '{rx}') GROUP BY 1".format(
+                rx=wildcard_to_regex(normalize_query(SEARCH_SUBSTRING))
+            )
+        ),
         "kql_filter": (
             _CTE
             + "SELECT conv_id, turn_idx FROM transcripts "
               "WHERE tool = 'search' AND turn_idx > 4 AND NOT role = 'user'"
+        ),
+        "json_schema_counts": (
+            "SELECT CASE cast(event_id % 5 as int) "
+            "WHEN 0 THEN 'component,latency_ms,level' "
+            "WHEN 1 THEN 'component,latency_ms,level' "
+            "WHEN 2 THEN 'err.code,err.msg,host,level' "
+            "WHEN 3 THEN 'latency_ms,level,tags' "
+            "ELSE 'metric,value' END AS schema_keys, count(*) AS cnt "
+            "FROM events GROUP BY 1"
+        ),
+        "json_kql_error": (
+            _JSON_CTE
+            + "SELECT event_id FROM jsonlogs "
+              "WHERE json_extract_string(json, '$.level') = 'ERROR' "
+              "AND cast(json_extract(json, '$.err.code') as int) >= 3"
+        ),
+        "json_latency_by_level": (
+            _JSON_CTE
+            + "SELECT json_extract_string(json, '$.level') AS level, count(*) AS cnt, "
+              "round(avg(cast(json_extract(json, '$.latency_ms') as bigint)), 4) AS avg_latency "
+              "FROM jsonlogs WHERE json_extract(json, '$.latency_ms') IS NOT NULL "
+              "GROUP BY 1"
         ),
         "q1_lineitem": (
             "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "

@@ -129,6 +129,83 @@ def candidate_logtype_ids(logtype_rows, query: str) -> list[int]:
     return [lid for lid, lt in logtype_rows if patterns_intersect(q, _template_to_pattern(lt))]
 
 
+def query_var_candidates(query: str, var_rows) -> list[list[int]]:
+    """Encoded-variable candidate sets for the query's unambiguous var tokens.
+
+    Re-expression of the reference's per-subquery QueryVar generation
+    (clp/GrepCore.hpp:124-150 + EncodedVariableInterpreter.hpp:557-631):
+    each wildcard-free token of the query that the tokenizer classifies as a
+    variable contributes one slot; its candidate encodings are the int/float
+    encoding (exact) or the matching var-dict ids (wildcard-free -> exact
+    lookup). Tokens adjacent to wildcards are ambiguous (could merge with
+    surrounding text), so only tokens strictly between non-wildcard,
+    non-token delimiters qualify — a SOUND prune: every true match retains
+    all slots in order; exactness is restored by the confirm filter.
+
+    var_rows: [(var_id, var_str), ...] from the (small) var dictionary.
+    Returns a list of candidate-id lists, in token order.
+    """
+    from ..functions.encoding import encode_float, encode_int
+    from ..functions.tokenizer import tokenize
+
+    q = normalize_query(query)
+    slots: list[list[int]] = []
+    by_val = {}
+    for vid, vs in var_rows:
+        by_val.setdefault(vs, []).append(vid)
+    # normalize_query guarantees leading/trailing '*', so every segment is
+    # wildcard-delimited; a token is unambiguous iff it does not touch the
+    # segment's ends (a boundary token could extend through the wildcard
+    # into a longer token of the message).
+    for seg in _wildcard_segments(q):
+        for start, end, is_var in tokenize(seg):
+            if not is_var or start == 0 or end == len(seg):
+                continue
+            tok = seg[start:end]
+            enc = encode_int(tok)
+            if enc is None:
+                enc = encode_float(tok)
+            if enc is not None:
+                slots.append([enc])
+            else:
+                slots.append(by_val.get(tok, []))
+    return slots
+
+
+def _wildcard_segments(pattern: str) -> list[str]:
+    """Maximal wildcard-free segments of a pattern (escapes resolved)."""
+    segs, cur = [], []
+    i, n = 0, len(pattern)
+    while i < n:
+        c = pattern[i]
+        if c == "\\" and i + 1 < n:
+            cur.append(pattern[i + 1])
+            i += 2
+        elif c in "*?":
+            if cur:
+                segs.append("".join(cur))
+                cur = []
+            i += 1
+        else:
+            cur.append(c)
+            i += 1
+    if cur:
+        segs.append("".join(cur))
+    return segs
+
+
+def var_sequence_filter(needles: list[list[int]]):
+    """Column predicate: the slot candidate sets must match a subsequence of
+    encoded_vars, in order (reference SubQuery::matches_vars,
+    clp/Query.hpp:240-264). Pure Catalyst higher-order expression — a
+    greedy scan is sufficient for membership because each slot is a set."""
+    arr = ",".join("array(" + ",".join(str(x) + "L" for x in s) + ")" for s in needles)
+    return F.expr(
+        f"aggregate(encoded_vars, 0, (idx, v) -> "
+        f"if(idx < {len(needles)} and array_contains(array({arr})[idx], v), idx + 1, idx))"
+    ) >= len(needles)
+
+
 def search(
     messages: DataFrame,
     logtype_dict: DataFrame,
@@ -137,12 +214,16 @@ def search(
     *,
     begin_ts_ms: int | None = None,
     end_ts_ms: int | None = None,
+    ignore_case: bool = False,
+    prune_vars: bool = False,
 ) -> DataFrame:
     """Full wildcard search -> (conv_id, turn_idx, text) of matching turns.
 
     Filter staging mirrors the reference's cheap-to-expensive order
     (clp/streaming_archive/reader/File.cpp:269-292): ts range, logtype-set
-    semi-filter, then decode + wildcard confirm.
+    semi-filter, optional encoded-variable subsequence prune, then decode +
+    wildcard confirm. `ignore_case` follows clg's --ignore-case
+    (clp/GrepCore.hpp process_raw_query use_ignore_case).
     """
     from .pipeline import decode_messages
 
@@ -156,8 +237,18 @@ def search(
 
     # Driver-side dictionary prune (dictionary is small; collect is bounded
     # by #distinct templates, not data size).
-    lt_rows = [(r["logtype_id"], r["logtype"]) for r in logtype_dict.select("logtype_id", "logtype").collect()]
-    cand = candidate_logtype_ids(lt_rows, query)
+    lt_rows = [
+        (r["logtype_id"], r["logtype"])
+        for r in logtype_dict.select("logtype_id", "logtype").collect()
+    ]
+    if ignore_case:
+        cand = [
+            lid
+            for lid, lt in lt_rows
+            if patterns_intersect(q.lower(), _template_to_pattern(lt).lower())
+        ]
+    else:
+        cand = candidate_logtype_ids(lt_rows, query)
     if not cand:
         return (
             decode_messages(filtered.limit(0), logtype_dict, var_dict)
@@ -165,5 +256,42 @@ def search(
     if len(cand) < len(lt_rows):
         filtered = filtered.filter(F.col("logtype_id").isin(cand))
 
+    if prune_vars and not ignore_case:
+        var_rows = [
+            (r["var_id"], r["var_str"])
+            for r in var_dict.select("var_id", "var_str").collect()
+        ]
+        needles = query_var_candidates(query, var_rows)
+        if any(len(s) == 0 for s in needles):
+            return decode_messages(filtered.limit(0), logtype_dict, var_dict)
+        if needles:
+            filtered = filtered.filter(var_sequence_filter(needles))
+
     decoded = decode_messages(filtered, logtype_dict, var_dict)
-    return decoded.filter(F.col("text").rlike(wildcard_to_regex(q)))
+    rx = wildcard_to_regex(q)
+    if ignore_case:
+        rx = "(?i)" + rx
+    return decoded.filter(F.col("text").rlike(rx))
+
+
+def search_count(messages, logtype_dict, var_dict, query: str, **kw) -> DataFrame:
+    """Aggregation output handler: total match count (reference clo
+    count pipeline, clp/clo/clo.cpp:300-330 + reducer CountOperator)."""
+    return search(messages, logtype_dict, var_dict, query, **kw).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def search_count_by_time(
+    messages, logtype_dict, var_dict, query: str, bucket_ms: int = 3_600_000, **kw
+) -> DataFrame:
+    """Count-by-time output handler with reference bucketing semantics
+    bucket = (ts_ms / size) * size (clp/clo/OutputHandler.hpp:257-287).
+    Decode keeps ts alongside (conv_id, turn_idx), so matches re-join the
+    message store only for the bucket column."""
+    matches = search(messages, logtype_dict, var_dict, query, **kw).select(
+        "conv_id", "turn_idx"
+    )
+    with_ts = matches.join(messages.select("conv_id", "turn_idx", "ts"), ["conv_id", "turn_idx"])
+    bucket = F.expr(f"unix_millis(cast(ts as timestamp)) div {bucket_ms}") * F.lit(bucket_ms)
+    return with_ts.groupBy(bucket.alias("bucket_ms")).agg(F.count(F.lit(1)).alias("cnt"))

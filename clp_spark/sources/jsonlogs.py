@@ -1,0 +1,47 @@
+"""Deterministic semi-structured (JSON) log corpus, synthesized from the
+driver's `events` table with SQL that runs identically in Spark SQL and
+DuckDB (same trick as sources/transcripts.py).
+
+This is the test corpus for the clp_s analog (clp_spark/plans/
+semistructured.py): four record shapes with different key sets and types so
+schema inference / schema-id interning / per-schema routing all have work to
+do, mirroring the reference's test_search.jsonl corpus
+(reference components/core/tests/test_log_files/test_search.jsonl).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# NOTE: no backslashes in literals (Spark escapes them, DuckDB does not).
+JSONLOGS_SQL = """
+SELECT
+  event_id,
+  ts,
+  CASE cast(event_id % 5 as int)
+    WHEN 0 THEN '{"level": "INFO", "component": "sched", "latency_ms": '
+                || cast(cast(floor(value) as bigint) as string) || '}'
+    WHEN 1 THEN '{"level": "INFO", "component": "io", "latency_ms": '
+                || cast(cast(floor(value) as bigint) as string) || '}'
+    WHEN 2 THEN '{"level": "ERROR", "err": {"code": '
+                || cast(cast(event_id % 7 as int) as string)
+                || ', "msg": "timeout"}, "host": "h'
+                || cast(cast(user_id % 20 as int) as string) || '"}'
+    WHEN 3 THEN '{"level": "WARN", "tags": ["slow", "io"], "latency_ms": '
+                || cast(cast(floor(value) as bigint) as string) || '}'
+    ELSE '{"metric": "mem_mb", "value": '
+                || cast(cast(event_id % 4096 as int) as string) || '.'
+                || cast(cast(event_id % 10 as int) as string) || '}'
+  END AS json
+FROM events
+"""
+
+
+def jsonlogs_cte() -> str:
+    """CTE prelude defining `jsonlogs`, valid in Spark SQL and DuckDB."""
+    return f"WITH jsonlogs AS ({JSONLOGS_SQL})\n"
+
+
+def load_jsonlogs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
+    return spark.sql(f"{jsonlogs_cte()} SELECT * FROM jsonlogs")
