@@ -180,6 +180,29 @@ def q_json_latency_by_level(spark, sf_dir):
     )
 
 
+HOT_LOGTYPE = "used \x11 of \x13 GB in \x13 seconds"
+
+
+def q_glt_logtype_table(spark, sf_dir):
+    """glt per-logtype pivot (reference glt/.../LogtypeTable.hpp:13-76):
+    the hot template's rows with encoded vars as real columns."""
+    msgs, lt, _ = _encoded(spark, sf_dir)
+    return P.logtype_table(msgs, lt, HOT_LOGTYPE).select(
+        "conv_id", "turn_idx", "var_0", "var_1", "var_2"
+    )
+
+
+def q_stitch_messages(spark, sf_dir):
+    """Multi-line message stitching (reference clp/MessageParser.cpp:84-165):
+    lines without a timestamp glue onto the previous timestamped message."""
+    from clp_spark.plans.textlogs import stitch_messages
+    from clp_spark.sources.jsonlogs import load_textlines
+
+    return stitch_messages(load_textlines(spark, sf_dir)).select(
+        "file_id", "msg_idx", "pattern_id", "ts_ms", "content"
+    )
+
+
 def q_q1_lineitem(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -293,6 +316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_count": q_search_count,
         "search_count_by_time": q_search_count_by_time,
         "kql_filter": q_kql_filter,
+        "glt_logtype_table": q_glt_logtype_table,
+        "stitch_messages": q_stitch_messages,
         "json_schema_counts": q_json_schema_counts,
         "json_kql_error": q_json_kql_error,
         "json_latency_by_level": q_json_latency_by_level,
@@ -317,9 +342,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _CTE = transcripts_cte()
 
-from clp_spark.sources.jsonlogs import jsonlogs_cte
+from clp_spark.sources.jsonlogs import jsonlogs_cte, textlines_cte
 
 _JSON_CTE = jsonlogs_cte()
+_TEXTLINES_CTE = textlines_cte()
 
 _SEARCH_ORACLE = (
     _CTE
@@ -467,6 +493,39 @@ def oracle_sql() -> dict[str, str]:
             _CTE
             + "SELECT conv_id, turn_idx FROM transcripts "
               "WHERE tool = 'search' AND turn_idx > 4 AND NOT role = 'user'"
+        ),
+        # var_1/var_2 recompute CLP's float bit-encoding analytically:
+        # u = digits<<8 | (num_digits-1)<<4 | (decimal_pos-1); fv has
+        # digits=(id%97)*10+(id%10), dpos=1; "1.9" encodes to 19*256+16.
+        "glt_logtype_table": (
+            _CTE
+            + """
+            SELECT conv_id, turn_idx,
+              iv AS var_0,
+              cast(((event_id % 97) * 10 + (event_id % 10)) * 256
+                   + (length(cast(event_id % 97 as string))) * 16 as bigint) AS var_1,
+              cast(19 * 256 + 16 as bigint) AS var_2
+            FROM base WHERE tid < 4
+            """
+        ),
+        "stitch_messages": (
+            _TEXTLINES_CTE
+            + r"""
+            , d AS (
+              SELECT file_id, line_idx, line,
+                CASE WHEN regexp_matches(line, '\d{13}') THEN 1 ELSE 0 END AS has_ts,
+                sum(CASE WHEN regexp_matches(line, '\d{13}') THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY file_id ORDER BY line_idx) AS msg_idx
+              FROM lines
+            )
+            SELECT file_id, cast(msg_idx as bigint) AS msg_idx,
+              cast(coalesce(max(CASE WHEN has_ts = 1 THEN 9 END), -1) as bigint) AS pattern_id,
+              max(CASE WHEN has_ts = 1
+                  THEN cast(regexp_extract(line, '(\d{13})', 1) as bigint) END) AS ts_ms,
+              string_agg(CASE WHEN has_ts = 1 THEN regexp_replace(line, '\d{13}', '')
+                              ELSE line END, chr(10) ORDER BY line_idx) AS content
+            FROM d GROUP BY 1, 2
+            """
         ),
         "json_schema_counts": (
             "SELECT CASE cast(event_id % 5 as int) "

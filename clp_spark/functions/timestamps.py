@@ -1,0 +1,155 @@
+"""Timestamp pattern table: parse text-embedded timestamps, render them back
+byte-exactly, and stitch multi-line messages.
+
+Reference semantics (re-derived, NOT ported):
+  - ~33 known patterns tried in order until one matches
+    (reference components/core/src/clp/TimestampPattern.cpp:120-202);
+  - a match records (pattern_id, epoch_millis, position) so decompression
+    re-renders the original text byte-for-byte
+    (reference clp/TimestampPattern.cpp insert_formatted_timestamp,
+    clp/streaming_archive/reader/Archive.cpp:163-195);
+  - message boundary rule: a line that parses a timestamp starts a new
+    message; non-timestamped lines glue onto the previous message
+    (reference clp/MessageParser.cpp:84-165).
+
+Spark-first: pattern matching is vectorized per Arrow batch — each pattern
+is one compiled regex applied to the still-unmatched rows (pandas .str
+C loops), mirroring the reference's ordered linear scan without per-row
+Python. Message stitching is a pure DataFrame window operation.
+
+The pattern table is a representative subset of the reference's list
+(same ordering discipline: more specific first). Extend by appending
+(regex, strftime-ish renderer) pairs.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from datetime import datetime, timezone
+
+import numpy as np
+import pandas as pd
+
+
+@dataclass(frozen=True)
+class TsPattern:
+    """One known timestamp pattern: a capture regex and a render format.
+
+    `fmt` uses strftime codes plus %3 for milliseconds (the reference's
+    extension, TimestampPattern.cpp) — rendering is exact for round trips.
+    """
+
+    pattern_id: int
+    regex: str
+    fmt: str
+
+
+# Order matters (first match wins), like the reference's static list.
+PATTERNS: list[TsPattern] = [
+    # 2016-05-08T07:34:05.251 / 2016-05-08 07:34:05.251
+    TsPattern(0, r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}", "%Y-%m-%dT%H:%M:%S.%3"),
+    TsPattern(1, r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{3}", "%Y-%m-%d %H:%M:%S.%3"),
+    # 2016-05-08T07:34:05,251 (comma millis)
+    TsPattern(2, r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2},\d{3}", "%Y-%m-%dT%H:%M:%S,%3"),
+    TsPattern(3, r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2},\d{3}", "%Y-%m-%d %H:%M:%S,%3"),
+    # seconds precision
+    TsPattern(4, r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}", "%Y-%m-%dT%H:%M:%S"),
+    TsPattern(5, r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}", "%Y-%m-%d %H:%M:%S"),
+    # 08/May/2016:07:34:05 +0000 (apache clf, fixed offset kept as text)
+    TsPattern(6, r"\d{2}/[A-Z][a-z]{2}/\d{4}:\d{2}:\d{2}:\d{2}", "%d/%b/%Y:%H:%M:%S"),
+    # May  8 07:34:05 / May 08 07:34:05 (syslog, no year -> 1970)
+    TsPattern(7, r"[A-Z][a-z]{2} [ \d]\d \d{2}:\d{2}:\d{2}", "%b %e %H:%M:%S"),
+    # 05/08/2016 07:34:05
+    TsPattern(8, r"\d{2}/\d{2}/\d{4} \d{2}:\d{2}:\d{2}", "%m/%d/%Y %H:%M:%S"),
+    # epoch millis / epoch seconds as the whole leading token
+    TsPattern(9, r"\d{13}", "%EPOCH_MS"),
+    TsPattern(10, r"\d{10}", "%EPOCH_S"),
+]
+
+_COMPILED = [(p, re.compile(p.regex)) for p in PATTERNS]
+_SEARCH_COMPILED = [(p, re.compile(p.regex)) for p in PATTERNS]
+
+
+def _parse_match(p: TsPattern, s: str) -> int:
+    """Matched text -> epoch millis (UTC, like the reference's epochtime)."""
+    if p.fmt == "%EPOCH_MS":
+        return int(s)
+    if p.fmt == "%EPOCH_S":
+        return int(s) * 1000
+    fmt = p.fmt
+    ms = 0
+    if "%3" in fmt:
+        ms = int(s[-3:])
+        s = s[:-4]
+        fmt = fmt[:-3].rstrip(".,").replace("%3", "")
+        fmt = fmt.rstrip(".,")
+    fmt = fmt.replace("%e", "%d")
+    s = s.replace("  ", " 0") if " " in p.regex and "[ \\d]" in p.regex else s
+    dt = datetime.strptime(s, fmt)
+    if dt.year == 1900:  # no-year patterns (syslog): reference stores as-is
+        dt = dt.replace(year=1970)
+    return int(dt.replace(tzinfo=timezone.utc).timestamp() * 1000) + ms
+
+
+def render_timestamp(pattern_id: int, ts_ms: int) -> str:
+    """Exact inverse of _parse_match for round-trip decode
+    (reference insert_formatted_timestamp)."""
+    p = PATTERNS[pattern_id]
+    if p.fmt == "%EPOCH_MS":
+        return str(ts_ms)
+    if p.fmt == "%EPOCH_S":
+        return str(ts_ms // 1000)
+    dt = datetime.fromtimestamp(ts_ms / 1000, tz=timezone.utc)
+    fmt = p.fmt.replace("%3", f"{ts_ms % 1000:03d}")
+    fmt = fmt.replace("%e", f"{dt.day:2d}")  # space-padded day, portable
+    return dt.strftime(fmt)
+
+
+def search_timestamp_batch(lines: pd.Series) -> pd.DataFrame:
+    """Vectorized analog of search_known_ts_patterns
+    (reference clp/TimestampPattern.cpp:204-218).
+
+    Returns DataFrame(pattern_id:int64 (-1 = none), ts_ms:int64, ts_start,
+    ts_end) — the span lets callers split the line into (prefix, ts, rest)
+    for byte-exact reassembly. Each pattern is applied with one compiled
+    C-level regex pass over the rows still unmatched.
+    """
+    n = len(lines)
+    s = lines.fillna("")
+    pattern_id = np.full(n, -1, dtype=np.int64)
+    ts_ms = np.zeros(n, dtype=np.int64)
+    ts_start = np.full(n, -1, dtype=np.int64)
+    ts_end = np.full(n, -1, dtype=np.int64)
+    unmatched = np.ones(n, dtype=bool)
+
+    for p, rx in _SEARCH_COMPILED:
+        if not unmatched.any():
+            break
+        sub = s[unmatched]
+        # one C pass: first match span per row
+        m = sub.str.extract(f"({p.regex})", expand=False)
+        hit = m.notna().to_numpy()
+        if not hit.any():
+            continue
+        idx = np.flatnonzero(unmatched)[hit]
+        matched_strs = m[hit]
+        # positions: str.find per row against its own match (C-level loop)
+        pos = np.fromiter(
+            (a.find(b) for a, b in zip(sub[hit], matched_strs)),
+            count=len(idx),
+            dtype=np.int64,
+        )
+        vals = np.fromiter(
+            (_parse_match(p, b) for b in matched_strs), count=len(idx), dtype=np.int64
+        )
+        pattern_id[idx] = p.pattern_id
+        ts_ms[idx] = vals
+        ts_start[idx] = pos
+        ts_end[idx] = pos + matched_strs.str.len().to_numpy()
+        unmatched[idx] = False
+
+    return pd.DataFrame(
+        {"pattern_id": pattern_id, "ts_ms": ts_ms, "ts_start": ts_start, "ts_end": ts_end},
+        index=lines.index,
+    )

@@ -250,3 +250,43 @@ def count_by_time(df: DataFrame, bucket_ms: int = 3_600_000, ts_col: str = "ts")
     (reference clp/clo/OutputHandler.hpp:271-273)."""
     bucket = F.expr(f"unix_millis(cast({ts_col} as timestamp)) div {bucket_ms}") * F.lit(bucket_ms)
     return df.groupBy(bucket.alias("bucket_ms")).agg(F.count("*").alias("cnt"))
+
+
+def count_logtype_vars(logtype: str) -> int:
+    """Number of variable placeholders in a logtype template (escape-aware)."""
+    n = 0
+    i = 0
+    while i < len(logtype):
+        c = logtype[i]
+        if c == "\\":
+            i += 2
+            continue
+        if c in ("\x11", "\x12", "\x13"):
+            n += 1
+        i += 1
+    return n
+
+
+def logtype_table(messages: DataFrame, logtype_dict: DataFrame, logtype: str) -> DataFrame:
+    """glt-style per-logtype pivot: one table per template with the ragged
+    variable array pivoted to real columns (ts, keys, var_0..var_{n-1}) —
+    the Spark analog of glt's LogtypeTable
+    (reference glt/streaming_archive/writer/LogtypeTable.hpp:13-76).
+
+    The template string resolves to its content-hash id driver-side (no
+    scan); the filter + array-index projection is pure codegen, and on a
+    bucket-partitioned messages sink the logtype_id filter prunes files via
+    parquet min-max/dictionary stats.
+    """
+    n_vars = count_logtype_vars(logtype)
+    lid_row = logtype_dict.filter(F.col("logtype") == logtype).select("logtype_id").first()
+    if lid_row is None:
+        base = messages.filter(F.lit(False))
+    else:
+        base = messages.filter(F.col("logtype_id") == lid_row["logtype_id"])
+    return base.select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        *[F.col("encoded_vars").getItem(i).alias(f"var_{i}") for i in range(n_vars)],
+    )

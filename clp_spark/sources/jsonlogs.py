@@ -45,3 +45,29 @@ def jsonlogs_cte() -> str:
 def load_jsonlogs(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
     return spark.sql(f"{jsonlogs_cte()} SELECT * FROM jsonlogs")
+
+
+# --- raw text-log lines corpus (for the MessageParser/stitching analog) ----
+# Timestamps are embedded as 13-digit epoch-millis literals derived from
+# event_id by integer arithmetic — the only timestamp rendering that is
+# byte-identical across Spark SQL and DuckDB.
+TEXTLINES_SQL = """
+SELECT
+  'file-' || cast(cast(event_id % 50 as int) as string) AS file_id,
+  cast(floor(event_id / 50) as bigint) AS line_idx,
+  CASE WHEN event_id % 3 = 0
+       THEN cast(1462692845000 + event_id as string)
+            || ' job step ' || cast(event_id % 7 as string)
+       ELSE 'continuation ' || cast(event_id % 5 as string)
+  END AS line
+FROM events
+"""
+
+
+def textlines_cte() -> str:
+    return f"WITH lines AS ({TEXTLINES_SQL})\n"
+
+
+def load_textlines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
+    return spark.sql(f"{textlines_cte()} SELECT * FROM lines")

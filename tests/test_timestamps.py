@@ -1,0 +1,96 @@
+"""Timestamp pattern table + message stitching (MessageParser analog)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from clp_spark.functions.timestamps import (
+    PATTERNS,
+    render_timestamp,
+    search_timestamp_batch,
+)
+
+CASES = [
+    ("2016-05-08T07:34:05.251 container started", 0, 1462692845251),
+    ("2016-05-08 07:34:05.251 container started", 1, 1462692845251),
+    ("2016-05-08T07:34:05,251 x", 2, 1462692845251),
+    ("2016-05-08 07:34:05,251 x", 3, 1462692845251),
+    ("2016-05-08T07:34:05 x", 4, 1462692845000),
+    ("prefix 2016-05-08 07:34:05 suffix", 5, 1462692845000),
+    ("08/May/2016:07:34:05 +0000 GET /", 6, 1462692845000),
+    ("May  8 07:34:05 host sshd[1]: msg", 7, None),
+    ("05/08/2016 07:34:05 event", 8, 1462692845000),
+    ("1462692845251 payload", 9, 1462692845251),
+    ("1462692845 payload", 10, 1462692845000),
+    ("no timestamp here", -1, None),
+    ("", -1, None),
+]
+
+
+def test_pattern_detection_and_values():
+    s = pd.Series([c[0] for c in CASES])
+    out = search_timestamp_batch(s)
+    for i, (line, want_pid, want_ms) in enumerate(CASES):
+        assert out["pattern_id"].iat[i] == want_pid, line
+        if want_ms is not None:
+            assert out["ts_ms"].iat[i] == want_ms, line
+
+
+def test_roundtrip_render():
+    """pattern match -> parse -> render must reproduce the original bytes."""
+    s = pd.Series([c[0] for c in CASES if c[1] >= 0])
+    out = search_timestamp_batch(s)
+    for line, row in zip(s, out.itertuples()):
+        original = line[row.ts_start : row.ts_end]
+        assert render_timestamp(int(row.pattern_id), int(row.ts_ms)) == original, line
+
+
+def test_first_match_wins_ordering():
+    # millis pattern must win over its seconds-precision prefix
+    out = search_timestamp_batch(pd.Series(["2016-05-08T07:34:05.251"]))
+    assert out["pattern_id"].iat[0] == 0
+
+
+@pytest.fixture(scope="module")
+def stitched(spark):
+    lines = [
+        ("f1", 0, "starting up"),  # leading untimestamped message
+        ("f1", 1, "2016-05-08T07:34:05.251 job started"),
+        ("f1", 2, "  continuation line"),
+        ("f1", 3, "  another continuation"),
+        ("f1", 4, "2016-05-08T07:34:06.000 job done"),
+        ("f2", 0, "1462692845251 single line msg"),
+    ]
+    df = spark.createDataFrame(lines, ["file_id", "line_idx", "line"])
+    from clp_spark.plans.textlogs import stitch_messages
+
+    return stitch_messages(df)
+
+
+def test_stitch_boundaries(spark, stitched):
+    rows = {(r["file_id"], r["msg_idx"]): r for r in stitched.collect()}
+    assert len(rows) == 4
+    # leading untimestamped message
+    r0 = rows[("f1", 0)]
+    assert r0["pattern_id"] == -1 and r0["content"] == "starting up"
+    # multi-line message glued in order, ts cut out
+    r1 = rows[("f1", 1)]
+    assert r1["pattern_id"] == 0 and r1["ts_ms"] == 1462692845251
+    assert r1["content"] == " job started\n  continuation line\n  another continuation"
+    r2 = rows[("f1", 2)]
+    assert r2["content"] == " job done"
+    assert rows[("f2", 1)]["pattern_id"] == 9
+
+
+def test_stitch_roundtrip(spark, stitched):
+    from clp_spark.plans.textlogs import render_messages
+
+    texts = {
+        (r["file_id"], r["msg_idx"]): r["text"] for r in render_messages(stitched).collect()
+    }
+    assert texts[("f1", 1)] == (
+        "2016-05-08T07:34:05.251 job started\n  continuation line\n  another continuation"
+    )
+    assert texts[("f2", 1)] == "1462692845251 single line msg"
+    assert texts[("f1", 0)] == "starting up"
