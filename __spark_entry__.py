@@ -124,6 +124,29 @@ def q_search_wildcard(spark, sf_dir):
     return _search(spark, sf_dir, SEARCH_WILDCARD)
 
 
+TS_RANGE = (1704067200000, 1704672000000)  # first ~7 days of the corpus
+
+
+def q_search_time_range(spark, sf_dir):
+    """Wildcard search restricted to a ts range — the reference's cheapest
+    first-stage filter (clp/Query.hpp timestamp_is_in_search_time_range)."""
+    return _search(
+        spark, sf_dir, SEARCH_SUBSTRING,
+        begin_ts_ms=TS_RANGE[0], end_ts_ms=TS_RANGE[1],
+    )
+
+
+def q_latest_n(spark, sf_dir):
+    """Top-k latest matches (reference results-cache priority queue,
+    clp/clo/OutputHandler.hpp:121-226 -> Spark TakeOrderedAndProject)."""
+    t = load_transcripts(spark, sf_dir)
+    return (
+        t.orderBy(F.desc("ts"), F.desc("conv_id"), F.desc("turn_idx"))
+        .select("conv_id", "turn_idx")
+        .limit(20)
+    )
+
+
 def q_search_var_prune(spark, sf_dir):
     return _search(spark, sf_dir, SEARCH_VAR_QUERY, prune_vars=True)
 
@@ -311,6 +334,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_mismatches": q_roundtrip_mismatches,
         "search_substring": q_search_substring,
         "search_wildcard": q_search_wildcard,
+        "search_time_range": q_search_time_range,
+        "latest_n": q_latest_n,
         "search_var_prune": q_search_var_prune,
         "search_ci": q_search_ci,
         "search_count": q_search_count,
@@ -469,6 +494,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         "search_wildcard": _SEARCH_ORACLE.format(
             rx=wildcard_to_regex(normalize_query(SEARCH_WILDCARD))
+        ),
+        "search_time_range": (
+            _CTE
+            + "SELECT conv_id, turn_idx FROM transcripts "
+              "WHERE regexp_matches(text, '{rx}') "
+              "AND epoch_ms(ts) >= {b} AND epoch_ms(ts) <= {e}".format(
+                rx=wildcard_to_regex(normalize_query(SEARCH_SUBSTRING)),
+                b=TS_RANGE[0], e=TS_RANGE[1],
+            )
+        ),
+        "latest_n": (
+            _CTE
+            + "SELECT conv_id, turn_idx FROM transcripts "
+              "ORDER BY ts DESC, conv_id DESC, turn_idx DESC LIMIT 20"
         ),
         "search_var_prune": _SEARCH_ORACLE.format(
             rx=wildcard_to_regex(normalize_query(SEARCH_VAR_QUERY))

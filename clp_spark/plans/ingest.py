@@ -229,9 +229,16 @@ def ingest(
                 F.min(P.ts_millis("ts")).alias("first_ts_ms"),
                 F.max(P.ts_millis("ts")).alias("last_ts_ms"),
             ),
-            "lineage": lambda: sink("logtype_bucket")
+            # per-bucket rows/files plus the min/max-ts range index that
+            # drives archive pruning in the reference
+            # (clp_s/TimestampEntry.hpp:58-93, EvaluateTimestampIndex)
+            "lineage": lambda: sink("logtype_bucket", "ts")
             .groupBy("logtype_bucket")
-            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min(P.ts_millis("ts")).alias("begin_ts_ms"),
+                F.max(P.ts_millis("ts")).alias("end_ts_ms"),
+            )
             .withColumn("n_files", _bucket_file_counts_udf(msgs_dir)("logtype_bucket")),
         }
         for step, build in builders.items():
