@@ -206,6 +206,30 @@ def q_json_latency_by_level(spark, sf_dir):
 HOT_LOGTYPE = "used \x11 of \x13 GB in \x13 seconds"
 
 
+def _grok_schema():
+    from clp_spark.functions.grok import GrokSchema, VarPattern
+
+    return GrokSchema(
+        patterns=(
+            VarPattern("int", r"-?\d+"),
+            VarPattern("float", r"-?\d+\.\d+"),
+            VarPattern("conv", r"conv-\d+(-\d+)?"),
+            VarPattern("user", r"user\d+"),
+            VarPattern("hex", r"0x[a-fA-F0-9]+"),
+        ),
+        delimiters=" \t\r\n:,!;%",
+    )
+
+
+def q_grok_logtype_counts(spark, sf_dir):
+    """Schema-file (user grok patterns) tokenization — different variable
+    rules than the heuristic, so e.g. MyDogNN stays logtype text
+    (reference schema-file mode, write_msg_using_schema)."""
+    t = load_transcripts(spark, sf_dir)
+    parsed = P.parse_encode_with_schema(t, _grok_schema())
+    return parsed.groupBy("logtype").agg(F.count("*").alias("cnt"))
+
+
 def q_glt_logtype_table(spark, sf_dir):
     """glt per-logtype pivot (reference glt/.../LogtypeTable.hpp:13-76):
     the hot template's rows with encoded vars as real columns."""
@@ -341,6 +365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_count": q_search_count,
         "search_count_by_time": q_search_count_by_time,
         "kql_filter": q_kql_filter,
+        "grok_logtype_counts": q_grok_logtype_counts,
         "glt_logtype_table": q_glt_logtype_table,
         "stitch_messages": q_stitch_messages,
         "json_schema_counts": q_json_schema_counts,
@@ -532,6 +557,21 @@ def oracle_sql() -> dict[str, str]:
             _CTE
             + "SELECT conv_id, turn_idx FROM transcripts "
               "WHERE tool = 'search' AND turn_idx > 4 AND NOT role = 'user'"
+        ),
+        "grok_logtype_counts": (
+            _CTE
+            + """
+            SELECT CASE
+              WHEN tid < 4 THEN 'used ' || chr(17) || ' of ' || chr(19) || ' GB in ' || chr(19) || ' seconds'
+              WHEN tid = 4 THEN 'Task MyDog' || cast(event_id % 50 as string)
+                              || ' started by ' || chr(18) || ' from APet4123_test.txt'
+              WHEN tid = 5 THEN 'statictext and more static text'
+              WHEN tid = 6 THEN 'value=abc' || cast(event_id % 100 as string) || ' mode=fast'
+              WHEN tid = 7 THEN 'hash abcdef commit BEEF' || cast(event_id % 10 as string)
+              WHEN tid = 8 THEN 'retcode ' || chr(17) || ' offset ' || chr(18) || ' pad ' || chr(18)
+              ELSE 'tool search latency ' || chr(17) || ' ms conv ' || chr(18)
+            END AS logtype, count(*) AS cnt FROM base GROUP BY 1
+            """
         ),
         # var_1/var_2 recompute CLP's float bit-encoding analytically:
         # u = digits<<8 | (num_digits-1)<<4 | (decimal_pos-1); fv has

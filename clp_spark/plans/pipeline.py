@@ -290,3 +290,33 @@ def logtype_table(messages: DataFrame, logtype_dict: DataFrame, logtype: str) ->
         "ts",
         *[F.col("encoded_vars").getItem(i).alias(f"var_{i}") for i in range(n_vars)],
     )
+
+
+def parse_encode_with_schema(
+    transcripts: DataFrame, schema, text_col: str = "text"
+) -> DataFrame:
+    """Schema-file (grok) variant of parse_encode: user variable patterns
+    instead of the built-in heuristic (reference write_msg_using_schema,
+    clp/streaming_archive/writer/Archive.cpp:318-451). Same output columns,
+    same downstream pipeline."""
+
+    @F.pandas_udf(_ENCODED_STRUCT)
+    def schema_udf(texts: pd.Series) -> pd.DataFrame:
+        from clp_spark.functions.grok import encode_batch_schema
+
+        return encode_batch_schema(texts, schema)
+
+    parsed = transcripts.withColumn("_enc", schema_udf(F.col(text_col))).select(
+        "*", "_enc.*"
+    ).drop("_enc")
+    return (
+        parsed.withColumn("logtype_id", F.xxhash64("logtype"))
+        .withColumn("dict_var_ids", F.expr("transform(dict_vars, v -> xxhash64(v))"))
+        .withColumn(
+            "encoded_vars",
+            F.expr(
+                "transform(arrays_zip(encoded_nums, dict_slots),"
+                " p -> coalesce(p.encoded_nums, dict_var_ids[p.dict_slots]))"
+            ),
+        )
+    )
