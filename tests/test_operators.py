@@ -1,0 +1,106 @@
+"""Unit tests for training-data operators: multimodal plumbing, dedup,
+similarity, text metrics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clp_spark.operators import dedup as DD
+from clp_spark.operators import multimodal as MM
+from clp_spark.operators import similarity as SIM
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return MM.synthesize_media(spark, n=48).cache()
+
+
+def test_media_features_deterministic_shape(spark, media):
+    f1 = MM.extract_features(media).collect()
+    f2 = MM.extract_features(media).collect()
+    assert len(f1) == 48
+    assert all(len(r["features"]) == 8 for r in f1)
+    assert sorted(map(repr, f1)) == sorted(map(repr, f2))  # deterministic
+
+
+def test_media_decoder_stub_raises_without_codec(spark, media):
+    with pytest.raises(NotImplementedError):
+        MM.extract_features(media, decoder=None)
+
+
+def test_frame_sample_plan(spark, media):
+    plan = MM.frame_sample_plan(media, every_ms=1000)
+    rows = plan.collect()
+    vids = {r["media_id"]: r["duration_ms"] for r in media.filter("kind='video'").collect()}
+    from collections import Counter
+
+    per = Counter(r["media_id"] for r in rows)
+    for mid, dur in vids.items():
+        assert per[mid] == (dur - 1) // 1000 + 1
+
+
+def test_metadata_stats_prunes_payload_from_shuffle(spark, media):
+    df = MM.metadata_stats(media)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    # map-side partial aggregation exists, and the partial agg's OUTPUT (what
+    # the exchange actually carries) excludes the binary payload column
+    partials = [l for l in lines if "partial_count" in l]
+    assert partials and all("payload#" not in l.split("output=")[-1] for l in partials)
+    assert any("Exchange" in l for l in lines)
+    assert df.count() == 3
+
+
+def test_dedup_exact_keeps_one_per_text(spark):
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = DD.dedup_exact(d)
+    assert out.count() == d.select("text").distinct().count()
+    assert out.agg(F.sum("n_copies")).first()[0] == d.count()
+
+
+def test_minhash_superset_of_high_jaccard_pairs(spark):
+    """MinHash-LSH candidates must include every pair the exact n-gram
+    jaccard marks as >= threshold (probabilistic recall at these sizes is
+    effectively 1 with the configured bands)."""
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in DD.ngram_jaccard_pairs(d, threshold=0.5, k=3).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in DD.minhash_lsh_pairs(d, threshold=0.12).collect()
+    }
+    assert exact <= lsh
+
+
+def test_simhash_near_duplicates_close(spark):
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sk = DD.simhash_sketches(d)
+    assert sk.count() == d.count()
+    # identical texts -> identical simhash
+    joined = (
+        d.alias("a")
+        .join(d.alias("b"), F.col("a.text") == F.col("b.text"))
+        .filter("a.doc_id < b.doc_id")
+        .select(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+    )
+    sk2 = {r["id"]: r["simhash"] for r in sk.collect()}
+    for r in joined.collect():
+        assert sk2[r["x"]] == sk2[r["y"]]
+
+
+def test_ann_lsh_topk_matches_bruteforce_head(spark):
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = [float(x) for x in e.filter("vec_id = 0").first()["embedding"]]
+    brute = [r["vec_id"] for r in SIM.cosine_topk(e, q, k=5).collect()]
+    lsh = [r["vec_id"] for r in SIM.ann_topk_lsh(e, q, k=5).collect()]
+    # the query vector itself must be rank 1 in both
+    assert brute[0] == 0 and lsh[0] == 0
+    # the corpus is uniform random (no true near-neighbors; all sims ~0.3),
+    # the worst case for LSH recall — only the exact-match guarantee plus
+    # some overlap is meaningful here
+    assert len(set(brute) & set(lsh)) >= 2
