@@ -160,8 +160,14 @@ def ingest(
                     "logtype_bucket",
                     F.pmod(F.col("logtype_id"), F.lit(n_buckets)).cast("int"),
                 )
-                .select(*MESSAGE_COLUMNS, "logtype_bucket")
-                .observe(obs, F.count(F.lit(1)).alias("n_turns"))
+                .withColumn("_text_bytes", F.octet_length("text"))
+                .select(*MESSAGE_COLUMNS, "logtype_bucket", "_text_bytes")
+                .observe(
+                    obs,
+                    F.count(F.lit(1)).alias("n_turns"),
+                    F.sum("_text_bytes").alias("uncompressed_bytes"),
+                )
+                .drop("_text_bytes")
             )
             _commit(
                 lambda d: msgs.sortWithinPartitions("logtype_bucket")
@@ -174,6 +180,7 @@ def ingest(
             )
             steps["messages"] = {"n_turns": obs.get["n_turns"]}
             manifest["metrics"]["n_turns"] = obs.get["n_turns"]
+            manifest["metrics"]["uncompressed_bytes"] = obs.get["uncompressed_bytes"]
             _write_manifest(out_dir, manifest)
 
         if want("logtype_dict"):
@@ -257,6 +264,22 @@ def ingest(
         if cache_parsed:
             dict_src.unpersist()
 
+    # archive size + compression ratio (reference ArchiveMetadata's
+    # compressed/uncompressed running sizes, clp/streaming_archive/
+    # ArchiveMetadata.cpp)
+    archive_bytes = 0
+    for root, _dirs, files in os.walk(out_dir):
+        if "_staging" in root:
+            continue
+        archive_bytes += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    manifest["metrics"]["archive_bytes"] = archive_bytes
+    unc = manifest["metrics"].get("uncompressed_bytes")
+    if unc and archive_bytes:
+        manifest["metrics"]["compression_ratio"] = round(unc / archive_bytes, 3)
     manifest["metrics"]["wall_sec"] = round(time.time() - t_start, 3)
     _write_manifest(out_dir, manifest)
     return manifest
