@@ -92,7 +92,7 @@ def q_count_by_time(spark, sf_dir):
 
 def q_roundtrip_mismatches(spark, sf_dir):
     t = load_transcripts(spark, sf_dir)
-    parsed = P.parse_encode(t)
+    parsed = P.parse_encode(t).persist()
     msgs = P.encoded_messages(parsed)
     lt, vd = P.build_logtype_dict(parsed), P.build_var_dict(parsed)
     dec = P.decode_messages(msgs, lt, vd).withColumnRenamed("text", "dec_text")
@@ -103,7 +103,10 @@ def q_roundtrip_mismatches(spark, sf_dir):
 
 
 def _encoded(spark, sf_dir):
-    parsed = P.parse_encode(load_transcripts(spark, sf_dir))
+    # persist: messages + both dictionaries + decode all derive from one
+    # parse (in production they read ingested SINKS; here we parse fresh,
+    # and without a cache Catalyst would re-run the tokenizer per branch)
+    parsed = P.parse_encode(load_transcripts(spark, sf_dir)).persist()
     return (
         P.encoded_messages(parsed),
         P.build_logtype_dict(parsed),

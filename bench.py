@@ -178,6 +178,10 @@ def main() -> None:
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
 
+    # spawn/warm the Python workers + codegen once, untimed — queries then
+    # measure steady-state work, not fork()+import
+    _force(E.queries()["logtype_counts"](spark, "/root/testdata/sf0.001"))
+
     qs = E.queries()
     timings = {}
     for name in HEADLINE:

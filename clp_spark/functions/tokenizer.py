@@ -216,3 +216,56 @@ def encode_series_scalar(texts: pd.Series) -> pd.DataFrame:
         },
         index=texts.index,
     )
+
+
+@lru_cache(maxsize=65536)
+def _template_parts(logtype: str):
+    """Split a logtype into (constant segments, placeholder kinds) once per
+    distinct template — render becomes a cheap join instead of a char loop
+    (the logtype dictionary is tiny relative to row count)."""
+    segs, kinds, cur = [], [], []
+    i, n = 0, len(logtype)
+    while i < n:
+        c = logtype[i]
+        if c == ESCAPE and i + 1 < n:
+            cur.append(logtype[i + 1])
+            i += 2
+        elif c in (PLACEHOLDER_INT, PLACEHOLDER_FLOAT, PLACEHOLDER_DICT):
+            segs.append("".join(cur))
+            cur = []
+            kinds.append(c)
+            i += 1
+        else:
+            cur.append(c)
+            i += 1
+    segs.append("".join(cur))
+    return tuple(segs), tuple(kinds)
+
+
+def render_batch(logtypes, dict_vars_col, encoded_vars_col) -> list:
+    """Batch decode: (logtype, dict_vars, encoded_vars) rows -> original
+    texts. Per-template work is memoized; per-row work is one str.join.
+    Semantics identical to decode_text (asserted in tests)."""
+    from .encoding import decode_float
+
+    out = []
+    for lt, dv, ev in zip(logtypes, dict_vars_col, encoded_vars_col):
+        segs, kinds = _template_parts(lt or "")
+        if not kinds:
+            out.append(segs[0])
+            continue
+        dv = dv if dv is not None else []
+        ev = ev if ev is not None else []
+        pieces = [segs[0]]
+        di = 0
+        for k, kind in enumerate(kinds):
+            if kind == PLACEHOLDER_INT:
+                pieces.append(str(int(ev[k])))
+            elif kind == PLACEHOLDER_FLOAT:
+                pieces.append(decode_float(int(ev[k])))
+            else:
+                pieces.append(dv[di])
+                di += 1
+            pieces.append(segs[k + 1])
+        out.append("".join(pieces))
+    return out

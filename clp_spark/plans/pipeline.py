@@ -182,26 +182,30 @@ def decode_messages(
 
     with_lt = messages.join(lt, "logtype_id", "left")
 
-    # Recover slot-ordered dict var strings. Rows with no dict vars skip the
-    # explode/regroup entirely (cheap union instead of null-handling in agg).
-    no_vars = with_lt.filter(F.size("dict_var_ids") == 0).withColumn(
-        "dict_vars", F.expr("cast(array() as array<string>)")
-    )
-    exploded = (
-        with_lt.filter(F.size("dict_var_ids") > 0)
-        .select(
+    # Recover slot-ordered dict var strings in ONE branch: posexplode_outer
+    # keeps rows with no dict vars (pos=null), and the CASE inside
+    # collect_list drops those null markers — no union, so the messages
+    # input is scanned exactly once (a union would recompute an un-cached
+    # upstream parse twice).
+    combined = (
+        with_lt.select(
             "conv_id", "turn_idx", "ts", "logtype_id", "logtype", "encoded_vars",
-            F.posexplode("dict_var_ids").alias("pos", "var_id"),
+            F.posexplode_outer("dict_var_ids").alias("pos", "var_id"),
         )
         .join(vd, "var_id", "left")
-        .groupBy("conv_id", "turn_idx", "ts", "logtype_id", "logtype", "encoded_vars")
+        .groupBy("conv_id", "turn_idx")
         .agg(
-            F.expr("transform(array_sort(collect_list(struct(pos, var_str))), s -> s.var_str)")
-            .alias("dict_vars")
+            F.first("ts").alias("ts"),
+            F.first("logtype_id").alias("logtype_id"),
+            F.first("logtype").alias("logtype"),
+            F.first("encoded_vars").alias("encoded_vars"),
+            F.expr(
+                "transform(array_sort(collect_list("
+                "CASE WHEN pos IS NOT NULL THEN struct(pos, var_str) END"
+                ")), s -> s.var_str)"
+            ).alias("dict_vars"),
         )
     )
-    cols = ["conv_id", "turn_idx", "ts", "logtype_id", "logtype", "encoded_vars", "dict_vars"]
-    combined = no_vars.select(*cols).unionByName(exploded.select(*cols))
 
     render_schema = StructType(
         [
@@ -212,13 +216,10 @@ def decode_messages(
     )
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from clp_spark.functions.tokenizer import decode_text
+        from clp_spark.functions.tokenizer import render_batch
 
         for pdf in batches:
-            texts = [
-                decode_text(lt_ or "", dv if dv is not None else [], ev if ev is not None else [])
-                for lt_, dv, ev in zip(pdf["logtype"], pdf["dict_vars"], pdf["encoded_vars"])
-            ]
+            texts = render_batch(pdf["logtype"], pdf["dict_vars"], pdf["encoded_vars"])
             yield pd.DataFrame(
                 {"conv_id": pdf["conv_id"], "turn_idx": pdf["turn_idx"], "text": texts}
             )

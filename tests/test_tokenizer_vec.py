@@ -128,3 +128,26 @@ def test_equivalence_random_adversarial(texts):
 )
 def test_equivalence_numeric_soup(texts):
     assert_frames_equal(texts)
+
+
+def test_render_batch_equals_decode_text():
+    from clp_spark.functions.tokenizer import (
+        decode_text,
+        encode_text,
+        render_batch,
+    )
+
+    texts = [t for t in EDGE_CASES if t]
+    lts, dvs, evs = [], [], []
+    for t in texts:
+        lt, vt, dv, en = encode_text(t)
+        # merged encoded_vars: dict slots get arbitrary ids (renderer must
+        # use dict_vars for those, never the id)
+        ev = [e if e is not None else 12345 for e in en]
+        lts.append(lt)
+        dvs.append(list(dv))
+        evs.append(ev)
+    got = render_batch(lts, dvs, evs)
+    want = [decode_text(lt, dv, [e if e is not None else 12345 for e in en])
+            for lt, (_, _, dv, en) in zip(lts, (encode_text(t) for t in texts))]
+    assert got == want == texts
