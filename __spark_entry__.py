@@ -194,6 +194,18 @@ def q_json_kql_error(spark, sf_dir):
     return kql_filter(flat, "level: ERROR AND err.code >= 3").select("event_id")
 
 
+def q_json_kql_tags(spark, sf_dir):
+    """KQL array filter (reference evaluate_array_filter): any tag matches."""
+    flat = _json_parsed(spark, sf_dir).select("event_id", "rec.*")
+    return kql_filter(flat, "tags: slow").select("event_id")
+
+
+def q_json_kql_wildcard_key(spark, sf_dir):
+    """KQL wildcard-key resolution (reference test-kql wildcard keys)."""
+    flat = _json_parsed(spark, sf_dir).select("event_id", "rec.*")
+    return kql_filter(flat, "err.*: timeout").select("event_id")
+
+
 def q_json_latency_by_level(spark, sf_dir):
     flat = _json_parsed(spark, sf_dir).select("rec.*")
     return (
@@ -373,6 +385,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stitch_messages": q_stitch_messages,
         "json_schema_counts": q_json_schema_counts,
         "json_kql_error": q_json_kql_error,
+        "json_kql_tags": q_json_kql_tags,
+        "json_kql_wildcard_key": q_json_kql_wildcard_key,
         "json_latency_by_level": q_json_latency_by_level,
         "q1_lineitem": q_q1_lineitem,
         "top_orders": q_top_orders,
@@ -623,6 +637,15 @@ def oracle_sql() -> dict[str, str]:
             + "SELECT event_id FROM jsonlogs "
               "WHERE json_extract_string(json, '$.level') = 'ERROR' "
               "AND cast(json_extract(json, '$.err.code') as int) >= 3"
+        ),
+        "json_kql_tags": (
+            _JSON_CTE
+            + "SELECT event_id FROM jsonlogs WHERE cast(event_id % 5 as int) = 3"
+        ),
+        "json_kql_wildcard_key": (
+            _JSON_CTE
+            + "SELECT event_id FROM jsonlogs "
+              "WHERE json_extract_string(json, '$.err.msg') = 'timeout'"
         ),
         "json_latency_by_level": (
             _JSON_CTE

@@ -138,8 +138,74 @@ class _Parser:
 _NUM_RE = re.compile(r"-?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?\Z")
 
 
+def _flat_dtypes(df: DataFrame) -> list[tuple[str, str]]:
+    """(dotted-path, dtype) for every leaf column, nested structs included."""
+    from pyspark.sql.types import StructType
+
+    out: list[tuple[str, str]] = []
+
+    def walk(schema, prefix=""):
+        for f in schema.fields:
+            p = f"{prefix}{f.name}"
+            if isinstance(f.dataType, StructType):
+                walk(f.dataType, p + ".")
+            else:
+                out.append((p, f.dataType.simpleString()))
+
+    walk(df.schema)
+    return out
+
+
+def _array_filter(col: Column, value: str, quoted: bool) -> Column:
+    """Array-column match (reference evaluate_array_filter,
+    clp_s/search/QueryRunner.hpp:282): any element matches the literal or
+    wildcard — a higher-order `exists`, no explode/shuffle."""
+    if not quoted and ("*" in value or "?" in value):
+        rx = wildcard_to_regex(value)
+        return F.exists(col, lambda x: x.cast("string").rlike(rx))
+    return F.array_contains(col.cast("array<string>"), value)
+
+
+def _wildcard_fields(df: DataFrame, pattern: str) -> list[str]:
+    """Wildcard KEY resolution (reference test-kql wildcard-key cases):
+    'err.*' or '*' expand to every matching column path."""
+    from ..functions.wildcard import wildcard_to_regex as w2r
+
+    rx = re.compile(w2r(pattern))
+    names: list[str] = []
+
+    def walk(schema, prefix=""):
+        for f in schema.fields:
+            p = f"{prefix}{f.name}"
+            if hasattr(f.dataType, "fields"):
+                walk(f.dataType, p + ".")
+            else:
+                names.append(p)
+
+    walk(df.schema)
+    return [n for n in names if rx.fullmatch(n)]
+
+
 def _filter_to_column(df: DataFrame, field: str, op: str, value: str, quoted: bool) -> Column:
+    if ("*" in field or "?" in field) and field != "*":
+        matches = _wildcard_fields(df, field)
+        if not matches:
+            return F.lit(False)
+        out = _filter_to_column(df, matches[0], op, value, quoted)
+        for m in matches[1:]:
+            out = out | _filter_to_column(df, m, op, value, quoted)
+        return out
+    if field == "*":
+        out = F.lit(False)
+        for m in _wildcard_fields(df, "*"):
+            out = out | _filter_to_column(df, m, op, value, quoted)
+        return out
     col = df[field]  # raises for unknown field (reference: unresolvable column)
+    dt = dict(_flat_dtypes(df)).get(field, "")
+    if op == ":" and dt.startswith("array"):
+        if value == "*" and not quoted:
+            return col.isNotNull()
+        return _array_filter(col, value, quoted)
     if op == ":":
         if value == "*" and not quoted:
             return col.isNotNull()  # EXISTS (clp_s/search/ast/ConvertToExists.hpp)
@@ -147,7 +213,6 @@ def _filter_to_column(df: DataFrame, field: str, op: str, value: str, quoted: bo
             return col.cast("string").rlike(wildcard_to_regex(value))
         if not quoted and _NUM_RE.match(value):
             # numeric equality on numeric columns, string equality otherwise
-            dt = dict(df.dtypes).get(field, "string")
             if dt in ("int", "bigint", "smallint", "tinyint", "double", "float", "decimal"):
                 return col == F.lit(float(value) if "." in value or "e" in value.lower() else int(value))
         return col.cast("string") == F.lit(value)
