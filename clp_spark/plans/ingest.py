@@ -112,6 +112,8 @@ def ingest(
     resume: bool = True,
     cache_parsed: bool = True,
     only_steps: set[str] | None = None,
+    dataset: str = "default",
+    tags: tuple[str, ...] = (),
 ) -> dict:
     """Run the full ingest job. Returns the manifest (steps + metrics).
 
@@ -125,6 +127,8 @@ def ingest(
     """
     os.makedirs(out_dir, exist_ok=True)
     manifest = read_manifest(out_dir) if resume else {"steps": {}, "metrics": {}}
+    manifest["dataset"] = dataset
+    manifest["tags"] = sorted(tags)
     steps = manifest["steps"]
     step_secs = manifest["metrics"].setdefault("step_secs", {})
     t_start = time.time()
@@ -264,6 +268,18 @@ def ingest(
         if cache_parsed:
             dict_src.unpersist()
 
+    # archive-level ts range for selection pruning (reference archives
+    # table begin/end_timestamp, clp_metadata_db_utils.py:27-95)
+    lineage_dir = os.path.join(out_dir, "lineage")
+    if os.path.isdir(lineage_dir):
+        rng = (
+            spark.read.parquet(lineage_dir)
+            .agg(F.min("begin_ts_ms").alias("b"), F.max("end_ts_ms").alias("e"))
+            .first()
+        )
+        manifest["metrics"]["begin_ts_ms"] = rng["b"]
+        manifest["metrics"]["end_ts_ms"] = rng["e"]
+
     # archive size + compression ratio (reference ArchiveMetadata's
     # compressed/uncompressed running sizes, clp/streaming_archive/
     # ArchiveMetadata.cpp)
@@ -335,3 +351,71 @@ def decode_archive(spark: SparkSession, out_dir: str) -> DataFrame:
     lt = spark.read.parquet(os.path.join(out_dir, "logtype_dict"))
     vd = spark.read.parquet(os.path.join(out_dir, "var_dict"))
     return P.decode_messages(msgs, lt, vd)
+
+
+def select_archives(
+    archive_dirs: list[str],
+    *,
+    dataset: str | None = None,
+    tags: list[str] | None = None,
+    begin_ts_ms: int | None = None,
+    end_ts_ms: int | None = None,
+) -> list[str]:
+    """Archive selection: dataset/tag restriction + ts-range overlap, newest
+    first (reference query_scheduler.py:396-434: SQL over the archives
+    metadata table with tag IN-subquery and `ORDER BY end_timestamp DESC`).
+    Driver-side over manifests — the control-table scan, not a data scan."""
+    picked = []
+    for d in archive_dirs:
+        m = read_manifest(d)
+        if dataset is not None and m.get("dataset") != dataset:
+            continue
+        if tags and not set(tags) & set(m.get("tags", [])):
+            continue
+        b = m.get("metrics", {}).get("begin_ts_ms")
+        e = m.get("metrics", {}).get("end_ts_ms")
+        if begin_ts_ms is not None and e is not None and e < begin_ts_ms:
+            continue
+        if end_ts_ms is not None and b is not None and b > end_ts_ms:
+            continue
+        picked.append((e if e is not None else 0, d))
+    return [d for _, d in sorted(picked, reverse=True)]
+
+
+def search_archives(
+    spark: SparkSession,
+    archive_dirs: list[str],
+    query: str,
+    *,
+    tags: list[str] | None = None,
+    begin_ts_ms: int | None = None,
+    end_ts_ms: int | None = None,
+    **search_kw,
+) -> DataFrame:
+    """Wildcard search across selected archives (the clg-over-many-archives
+    path). Content-hash ids are globally deterministic, so unioned messages
+    join unioned (deduplicated) dictionaries directly."""
+    from .grep import search
+
+    dirs = select_archives(
+        archive_dirs, tags=tags, begin_ts_ms=begin_ts_ms, end_ts_ms=end_ts_ms
+    )
+    if not dirs:
+        raise ValueError("no archive matches the selection")
+    from functools import reduce
+
+    def union_read(sub: str) -> DataFrame:
+        # per-archive reads + union: each partitioned root keeps its own
+        # partition discovery (one multi-root read would conflict)
+        parts = [spark.read.parquet(os.path.join(d, sub)) for d in dirs]
+        return reduce(DataFrame.unionByName, parts)
+
+    msgs = union_read("messages")
+    lt = union_read("logtype_dict").select("logtype_id", "logtype").dropDuplicates(
+        ["logtype_id"]
+    )
+    vd = union_read("var_dict").select("var_id", "var_str").dropDuplicates(["var_id"])
+    return search(
+        msgs, lt, vd, query,
+        begin_ts_ms=begin_ts_ms, end_ts_ms=end_ts_ms, **search_kw,
+    )

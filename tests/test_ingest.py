@@ -133,3 +133,34 @@ def test_compaction_preserves_rows(spark, archive):
     files = [f for f in os.listdir(bucket_dir) if f.endswith(".parquet")]
     assert len(files) == 1
     assert spark.read.parquet(bucket_dir).count() == before
+
+
+def test_archive_selection_and_multi_archive_search(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = load_transcripts(spark, SF_DIR)
+    mid = t.approxQuantile("turn_idx", [0.5], 0)[0]
+    early = t.filter(F.col("turn_idx") < 4)
+    late = t.filter(F.col("turn_idx") >= 4)
+    a1, a2 = str(tmp_path / "arch1"), str(tmp_path / "arch2")
+    I.ingest(spark, early, a1, dataset="prod", tags=("blue",))
+    I.ingest(spark, late, a2, dataset="prod", tags=("green",))
+
+    m1, m2 = I.read_manifest(a1), I.read_manifest(a2)
+    assert m1["tags"] == ["blue"] and m2["dataset"] == "prod"
+    assert m1["metrics"]["begin_ts_ms"] <= m1["metrics"]["end_ts_ms"]
+
+    # tag restriction
+    assert I.select_archives([a1, a2], tags=["blue"]) == [a1]
+    assert set(I.select_archives([a1, a2], dataset="prod")) == {a1, a2}
+    assert I.select_archives([a1, a2], dataset="other") == []
+    # ts-overlap pruning: a window strictly before a2's begin keeps only a1
+    assert I.select_archives([a1, a2], end_ts_ms=m2["metrics"]["begin_ts_ms"] - 1) == [a1]
+
+    # multi-archive search returns the union of per-archive matches
+    from clp_spark.plans.grep import search
+
+    hits = I.search_archives(spark, [a1, a2], "commit BEEF")
+    n1 = I.search_archives(spark, [a1], "commit BEEF").count()
+    n2 = I.search_archives(spark, [a2], "commit BEEF").count()
+    assert hits.count() == n1 + n2 > 0
