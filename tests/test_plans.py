@@ -1,0 +1,117 @@
+"""Physical-plan assertions: the scale properties we claim must be visible
+in `.explain` — filter pushdown, column pruning, broadcast joins, partition
+pruning on the routed sink, and salting's skew-spread."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from clp_spark.plans import ingest as I
+from clp_spark.plans import pipeline as P
+from clp_spark.sources.transcripts import dim_role, dim_tool, load_transcripts
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_column_pushdown_to_parquet():
+    from clp_spark.session import get_spark
+
+    spark = get_spark()
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") <= "1998-09-02").select("l_returnflag", "l_quantity")
+    plan = plan_of(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # ReadSchema pruned to the 3 referenced columns only
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_returnflag" in rs and "l_extendedprice" not in rs
+
+
+def test_enrich_uses_broadcast_joins(spark):
+    t = load_transcripts(spark, SF_DIR)
+    df = P.enrich(P.parse_encode(t), dim_role(spark), dim_tool(spark))
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_decode_joins_are_broadcast(spark):
+    t = load_transcripts(spark, SF_DIR)
+    parsed = P.parse_encode(t)
+    dec = P.decode_messages(
+        P.encoded_messages(parsed), P.build_logtype_dict(parsed), P.build_var_dict(parsed)
+    )
+    plan = plan_of(dec)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+@pytest.fixture(scope="module")
+def sink(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("plans_arch"))
+    I.ingest(spark, load_transcripts(spark, SF_DIR), out, only_steps={"messages"})
+    return os.path.join(out, "messages")
+
+
+def test_bucket_partition_pruning_on_sink(spark, sink):
+    df = spark.read.parquet(sink).filter(F.col("logtype_bucket") == 3)
+    plan = plan_of(df)
+    # Hive-style partition filter prunes directories before the scan: it
+    # appears as PartitionFilters on the FileScan, NOT as a row filter
+    import re
+
+    assert re.search(r"PartitionFilters: \[.*logtype_bucket#\d+ = 3", plan), plan
+    assert "Filter (" not in plan  # no post-scan row filter needed
+    assert df.count() > 0
+
+
+def test_salting_spreads_hot_logtype(spark):
+    """The corpus is Zipfian (one template ~40% of rows). route()'s
+    (bucket, salt) repartition must spread that hot logtype over n_salts
+    partitions instead of one straggler."""
+    # AQE would legitimately coalesce this small corpus into one partition;
+    # disable coalescing to observe the salt spread itself
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        _salting_body(spark)
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+
+
+def _salting_body(spark):
+    t = load_transcripts(spark, "/root/testdata/sf0.01")
+    routed = P.route(P.parse_encode(t), n_buckets=16, n_salts=8)
+    hot = (
+        routed.groupBy("logtype_id")
+        .count()
+        .orderBy(F.desc("count"))
+        .first()["logtype_id"]
+    )
+    per_part = (
+        routed.filter(F.col("logtype_id") == hot)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    counts = [r["count"] for r in per_part]
+    assert len(counts) >= 6  # hot rows landed on many partitions
+    assert max(counts) < 0.5 * sum(counts)  # no single straggler partition
+
+
+def test_shuffle_free_messages_write_plan(spark):
+    """The routed messages sink must have NO Exchange between the parse and
+    the write (fan-out without shuffle — the design claim in ingest.py)."""
+    t = load_transcripts(spark, SF_DIR)
+    parsed = P.parse_encode(t)
+    msgs = parsed.withColumn(
+        "logtype_bucket", F.pmod(F.col("logtype_id"), F.lit(16)).cast("int")
+    ).select("conv_id", "turn_idx", "logtype_id", "logtype_bucket")
+    plan = plan_of(msgs.sortWithinPartitions("logtype_bucket"))
+    assert "Exchange" not in plan
