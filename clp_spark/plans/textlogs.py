@@ -116,3 +116,31 @@ def render_messages(messages: DataFrame) -> DataFrame:
     return messages.withColumn(
         "text", rerender("content", "pattern_id", "ts_ms", "ts_start")
     )
+
+
+def read_text_logs(spark, paths) -> DataFrame:
+    """FS text-file scan -> (file_id, line_idx, line), the stitch input
+    (reference file enumeration + line reading, clp/clp/run.cpp:46-99).
+
+    Line order: spark.read.text preserves order within a split, and
+    monotonically_increasing_id is ascending per partition, so line_idx
+    orders correctly as long as one file maps to one split — size
+    spark.sql.files.maxPartitionBytes above the largest file (the reference
+    has the same sequential-per-file constraint: clp compresses each file as
+    one stream). For larger files, pre-split them or carry explicit line
+    numbers in the source.
+    """
+    lines = (
+        spark.read.text(paths)
+        .withColumn("file_id", F.input_file_name())
+        .withColumn("line_idx", F.monotonically_increasing_id())
+        .withColumnRenamed("value", "line")
+    )
+    return lines.select("file_id", "line_idx", "line")
+
+
+def ingest_text_logs(spark, paths) -> DataFrame:
+    """Raw log files -> parse_encode-ready messages: scan, stitch multi-line
+    messages, cut timestamps. Returns (file_id, msg_idx, pattern_id, ts_ms,
+    ts_start, content)."""
+    return stitch_messages(read_text_logs(spark, paths))

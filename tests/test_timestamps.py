@@ -94,3 +94,27 @@ def test_stitch_roundtrip(spark, stitched):
     )
     assert texts[("f2", 1)] == "1462692845251 single line msg"
     assert texts[("f1", 0)] == "starting up"
+
+
+def test_text_file_ingestion_end_to_end(spark, tmp_path):
+    """Real files on disk -> read_text_logs -> stitch -> re-render equals the
+    original file contents."""
+    f1 = tmp_path / "a.log"
+    f1.write_text(
+        "2016-05-08T07:34:05.251 job started\n"
+        "  traceback line one\n"
+        "  traceback line two\n"
+        "2016-05-08T07:34:06.000 job finished with 3 retries\n"
+    )
+    f2 = tmp_path / "b.log"
+    f2.write_text("preamble without ts\n1462692845251 epoch line\n")
+
+    from clp_spark.plans.textlogs import ingest_text_logs, render_messages
+
+    msgs = ingest_text_logs(spark, str(tmp_path))
+    rendered = render_messages(msgs)
+    by_file = {}
+    for r in rendered.orderBy("file_id", "msg_idx").collect():
+        by_file.setdefault(r["file_id"].rsplit("/", 1)[-1], []).append(r["text"])
+    assert "\n".join(by_file["a.log"]) + "\n" == f1.read_text()
+    assert "\n".join(by_file["b.log"]) + "\n" == f2.read_text()
