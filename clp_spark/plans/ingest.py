@@ -57,8 +57,7 @@ from . import pipeline as P
 MANIFEST = "_manifest.json"
 
 MESSAGE_COLUMNS = [
-    "conv_id", "turn_idx", "ts", "role", "tool",
-    "logtype_id", "encoded_vars", "dict_var_ids",
+    "conv_id", "turn_idx", "ts", "role", "tool", "logtype_id", "encoded_vars",
 ]
 
 
@@ -189,8 +188,7 @@ def ingest(
 
         if want("logtype_dict"):
             _commit(
-                lambda d: dict_src.groupBy("logtype_id", "logtype")
-                .agg(F.count(F.lit(1)).alias("n_messages"))
+                lambda d: P.build_logtype_dict(dict_src)
                 .write.mode("overwrite")
                 .parquet(d),
                 out_dir,
@@ -411,8 +409,10 @@ def search_archives(
         return reduce(DataFrame.unionByName, parts)
 
     msgs = union_read("messages")
-    lt = union_read("logtype_dict").select("logtype_id", "logtype").dropDuplicates(
-        ["logtype_id"]
+    lt = (
+        union_read("logtype_dict")
+        .select("logtype_id", "logtype", "var_kinds")
+        .dropDuplicates(["logtype_id"])
     )
     vd = union_read("var_dict").select("var_id", "var_str").dropDuplicates(["var_id"])
     return search(

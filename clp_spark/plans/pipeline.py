@@ -95,13 +95,30 @@ def parse_encode(transcripts: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+@F.pandas_udf(ArrayType(IntegerType()))
+def _var_kinds_udf(logtypes: pd.Series) -> pd.Series:
+    """Placeholder-kind sequence of each template (0x11/0x12/0x13 per var)."""
+    from clp_spark.functions.tokenizer import _template_parts
+
+    return logtypes.map(lambda lt: [ord(k) for k in _template_parts(lt or "")[1]])
+
+
 def build_logtype_dict(parsed: DataFrame) -> DataFrame:
-    """Logtype dictionary: (logtype_id, logtype, n_messages).
+    """Logtype dictionary: (logtype_id, logtype, var_kinds, n_messages).
 
     Analog of reference LogTypeDictionaryWriter (clp/LogTypeDictionaryWriter.hpp:37)
     — Spark's partial+final hash aggregate replaces the intern map.
+    `var_kinds` (the template's placeholder types, reference
+    LogTypeDictionaryEntry::get_placeholder_info) lets the message store
+    drop its per-row dict_var_ids column: dict ids are recoverable from
+    encoded_vars + the template, exactly like the reference's ragged layout.
+    The udf runs over dictionary ENTRIES (tiny), not rows.
     """
-    return parsed.groupBy("logtype_id", "logtype").agg(F.count("*").alias("n_messages"))
+    return (
+        parsed.groupBy("logtype_id", "logtype")
+        .agg(F.count("*").alias("n_messages"))
+        .withColumn("var_kinds", _var_kinds_udf("logtype"))
+    )
 
 
 def build_var_dict(parsed: DataFrame) -> DataFrame:
@@ -151,12 +168,13 @@ def route(parsed: DataFrame, n_buckets: int = 16, n_salts: int = 8) -> DataFrame
 
 
 def encoded_messages(parsed: DataFrame) -> DataFrame:
-    """The encoded-message store (reference 3-column layout
-    File.hpp:257-259, plus transcript keys): drops raw text — that is the
-    compression."""
+    """The encoded-message store — exactly the reference 3-column layout
+    (ts, logtype_id, vars[]; File.hpp:257-259) plus transcript keys. No
+    per-row type/id metadata: variable kinds live in the logtype dictionary
+    (one entry per template), so dict ids are recovered by zipping
+    encoded_vars with the template's var_kinds at decode."""
     return parsed.select(
-        "conv_id", "turn_idx", "ts", "role", "tool",
-        "logtype_id", "encoded_vars", "dict_var_ids",
+        "conv_id", "turn_idx", "ts", "role", "tool", "logtype_id", "encoded_vars",
     )
 
 
@@ -175,12 +193,27 @@ def decode_messages(
     dictionary, and re-collecting in slot order; the final render is one
     Arrow-batched UDF.
     """
-    lt = logtype_dict.select("logtype_id", "logtype")
+    if "var_kinds" in logtype_dict.columns:
+        lt = logtype_dict.select("logtype_id", "logtype", "var_kinds")
+    else:  # dictionary from an older layout: derive kinds from the template
+        lt = logtype_dict.select(
+            "logtype_id", "logtype", _var_kinds_udf("logtype").alias("var_kinds")
+        )
     vd = var_dict.select("var_id", "var_str")
     if broadcast_dicts:
         lt, vd = F.broadcast(lt), F.broadcast(vd)
 
     with_lt = messages.join(lt, "logtype_id", "left")
+    if "dict_var_ids" not in with_lt.columns:
+        # recover the dict-id subsequence from the template's placeholder
+        # kinds (reference ragged-array semantics; VT_DICT = 0x12 = 18)
+        with_lt = with_lt.withColumn(
+            "dict_var_ids",
+            F.expr(
+                "transform(filter(arrays_zip(encoded_vars, var_kinds),"
+                " p -> p.var_kinds = 18), p -> p.encoded_vars)"
+            ),
+        )
 
     # Recover slot-ordered dict var strings in ONE branch: posexplode_outer
     # keeps rows with no dict vars (pos=null), and the CASE inside

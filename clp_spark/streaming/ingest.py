@@ -104,7 +104,7 @@ def process_batch(spark: SparkSession, out_dir: str, n_buckets: int = 16):
                 spark,
                 P.build_logtype_dict(parsed),
                 os.path.join(out_dir, "logtype_dict"),
-                ["logtype_id", "logtype"],
+                ["logtype_id", "logtype", "var_kinds"],
                 "n_messages",
             )
             _merge_dict(
