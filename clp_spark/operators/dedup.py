@@ -94,13 +94,15 @@ def ngram_jaccard_pairs(
     )
 
 
-_MERSENNE = (1 << 61) - 1
+_PRIME = (1 << 61) - 1
 
 
 def _minhash_params(num_hashes: int, seed: int = 42):
+    """Universal-hash coefficients sized so a*h32 + b fits int64:
+    a < 2^30, h32 < 2^32 -> product < 2^62 (no bigint/object math)."""
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64)
-    b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+    a = rng.randint(1, 1 << 30, size=num_hashes).astype(np.int64)
+    b = rng.randint(0, 1 << 30, size=num_hashes).astype(np.int64)
     return a, b
 
 
@@ -112,32 +114,47 @@ def minhash_signatures(
     id_col: str = "doc_id",
     seed: int = 42,
 ) -> DataFrame:
-    """MinHash signatures via one Arrow-batched pass (numpy-vectorized
-    universal hashing over the shingle hash set per doc)."""
+    """MinHash signatures, batch-vectorized: ALL shingles of an Arrow batch
+    hash through the universal-hash bank in one int64 numpy matrix, and
+    per-doc minima come from np.minimum.reduceat — no per-doc Python work
+    beyond the shingle split. Docs are processed in sub-chunks so the
+    (shingles x num_hashes) matrix stays ~100 MB regardless of batch size."""
     a_params, b_params = _minhash_params(num_hashes, seed)
     schema = StructType(
         [StructField("id", LongType()), StructField("sig", ArrayType(LongType()))]
     )
+    chunk_docs = 2000
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, sigs = [], []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
-                sh = shingle_set(text or "", k)
-                if not sh:
-                    sigs.append([0] * num_hashes)
-                    ids.append(did)
-                    continue
-                hv = np.fromiter(
-                    (stable_hash64(s) & 0x7FFFFFFFFFFFFFFF for s in sorted(sh)),
-                    dtype=np.int64,
-                    count=len(sh),
+            ids_out, sigs_out = [], []
+            for lo in range(0, len(pdf), chunk_docs):
+                sub = pdf.iloc[lo : lo + chunk_docs]
+                shingle_lists = [sorted(shingle_set(t or "", k)) for t in sub[text_col]]
+                counts = np.fromiter(
+                    (len(s) for s in shingle_lists), dtype=np.int64, count=len(sub)
                 )
-                # (a*h + b) mod p, rows = shingles, cols = hash fns
-                m = (hv[:, None].astype(object) * a_params[None, :] + b_params[None, :]) % _MERSENNE
-                sigs.append(list(m.min(axis=0).astype(np.int64)))
-                ids.append(did)
-            yield pd.DataFrame({"id": ids, "sig": sigs})
+                flat = [s for lst in shingle_lists for s in lst]
+                nonempty = counts > 0
+                if flat:
+                    hv = np.fromiter(
+                        (stable_hash64(s) & 0xFFFFFFFF for s in flat),
+                        dtype=np.int64,
+                        count=len(flat),
+                    )
+                    m = (hv[:, None] * a_params[None, :] + b_params[None, :]) % _PRIME
+                    offs = np.zeros(int(nonempty.sum()), dtype=np.int64)
+                    np.cumsum(counts[nonempty][:-1], out=offs[1:])
+                    mins = np.minimum.reduceat(m, offs, axis=0)
+                ids_out.extend(sub[id_col])
+                mi = 0
+                for ne in nonempty:
+                    if ne:
+                        sigs_out.append(mins[mi].tolist())
+                        mi += 1
+                    else:
+                        sigs_out.append([0] * num_hashes)
+            yield pd.DataFrame({"id": ids_out, "sig": sigs_out})
 
     return df.select(id_col, text_col).mapInPandas(run, schema=schema)
 
