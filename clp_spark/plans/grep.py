@@ -33,6 +33,12 @@ from ..functions.wildcard import clean_up_wildcard_search_string, wildcard_to_re
 
 _PLACEHOLDERS = (PLACEHOLDER_INT, PLACEHOLDER_DICT, PLACEHOLDER_FLOAT)
 
+# Max var-dict entries to ship to executors as an in-memory map for the
+# shuffle-free decode (the reference decompressor's working assumption —
+# it loads var.dict fully into RAM). Above this, decode falls back to
+# broadcast joins.
+DICT_BROADCAST_LIMIT = 1_000_000
+
 
 def _template_to_pattern(logtype: str) -> str:
     """Logtype template -> wildcard pattern ('*' per variable, escapes kept)."""
@@ -267,7 +273,23 @@ def search(
         if needles:
             filtered = filtered.filter(var_sequence_filter(needles))
 
-    decoded = decode_messages(filtered, logtype_dict, var_dict)
+    # Decode strategy: when the var dictionary is collectible (CLP's own
+    # in-memory-dictionaries assumption for decompression), use the
+    # shuffle-free broadcast-dictmap decode; otherwise the join-based one.
+    decoded = None
+    vd_sample = var_dict.select("var_id", "var_str").limit(DICT_BROADCAST_LIMIT + 1).collect()
+    if len(vd_sample) <= DICT_BROADCAST_LIMIT:
+        from .pipeline import decode_messages_dictmap
+
+        spark = messages.sparkSession
+        decoded = decode_messages_dictmap(
+            spark,
+            filtered,
+            lt_rows,
+            [(r["var_id"], r["var_str"]) for r in vd_sample],
+        )
+    else:
+        decoded = decode_messages(filtered, logtype_dict, var_dict)
     rx = wildcard_to_regex(q)
     if ignore_case:
         rx = "(?i)" + rx

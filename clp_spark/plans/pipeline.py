@@ -354,3 +354,70 @@ def parse_encode_with_schema(
             ),
         )
     )
+
+
+def decode_messages_dictmap(
+    spark,
+    messages: DataFrame,
+    logtype_rows,
+    var_rows,
+) -> DataFrame:
+    """Shuffle-free decode: dictionaries travel to executors as a Spark
+    broadcast of plain Python dicts and the render happens in ONE pandas UDF
+    pass over the messages — no explode, no join, no groupBy.
+
+    This mirrors the reference decompressor exactly: it loads logtype.dict
+    and var.dict fully into memory before reading segments
+    (clp/streaming_archive/reader/Archive.cpp:163-195). Use when the
+    dictionaries fit in executor memory (CLP's own operating assumption);
+    otherwise use decode_messages (broadcast-join based).
+
+    logtype_rows: iterable of (logtype_id, logtype);
+    var_rows: iterable of (var_id, var_str).
+    """
+    lt_map = {int(i): s for i, s in logtype_rows}
+    vd_map = {int(i): s for i, s in var_rows}
+    bc = spark.sparkContext.broadcast((lt_map, vd_map))
+
+    schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("turn_idx", IntegerType()),
+            StructField("text", StringType()),
+        ]
+    )
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from clp_spark.functions.encoding import decode_float
+        from clp_spark.functions.tokenizer import (
+            PLACEHOLDER_DICT,
+            PLACEHOLDER_INT,
+            _template_parts,
+        )
+
+        lts, vds = bc.value
+        for pdf in batches:
+            texts = []
+            for lid, ev in zip(pdf["logtype_id"], pdf["encoded_vars"]):
+                segs, kinds = _template_parts(lts.get(int(lid), ""))
+                if not kinds:
+                    texts.append(segs[0])
+                    continue
+                pieces = [segs[0]]
+                for k, kind in enumerate(kinds):
+                    v = int(ev[k])
+                    if kind == PLACEHOLDER_INT:
+                        pieces.append(str(v))
+                    elif kind == PLACEHOLDER_DICT:
+                        pieces.append(vds.get(v, ""))
+                    else:
+                        pieces.append(decode_float(v))
+                    pieces.append(segs[k + 1])
+                texts.append("".join(pieces))
+            yield pd.DataFrame(
+                {"conv_id": pdf["conv_id"], "turn_idx": pdf["turn_idx"], "text": texts}
+            )
+
+    return messages.select("conv_id", "turn_idx", "logtype_id", "encoded_vars").mapInPandas(
+        render, schema=schema
+    )

@@ -115,3 +115,36 @@ def test_shuffle_free_messages_write_plan(spark):
     ).select("conv_id", "turn_idx", "logtype_id", "logtype_bucket")
     plan = plan_of(msgs.sortWithinPartitions("logtype_bucket"))
     assert "Exchange" not in plan
+
+
+def test_dictmap_decode_equals_join_decode(spark):
+    t = load_transcripts(spark, SF_DIR)
+    parsed = P.parse_encode(t).persist()
+    msgs = P.encoded_messages(parsed)
+    lt, vd = P.build_logtype_dict(parsed), P.build_var_dict(parsed)
+    join_dec = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in P.decode_messages(msgs, lt, vd).collect()
+    }
+    map_dec = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in P.decode_messages_dictmap(
+            spark,
+            msgs,
+            [(r["logtype_id"], r["logtype"]) for r in lt.collect()],
+            [(r["var_id"], r["var_str"]) for r in vd.collect()],
+        ).collect()
+    }
+    parsed.unpersist()
+    assert map_dec == join_dec
+    # and both equal the original text
+    orig = {(r["conv_id"], r["turn_idx"]): r["text"] for r in t.collect()}
+    assert map_dec == orig
+
+
+def test_dictmap_decode_plan_has_no_shuffle(spark):
+    t = load_transcripts(spark, SF_DIR)
+    parsed = P.parse_encode(t)
+    msgs = P.encoded_messages(parsed)
+    dec = P.decode_messages_dictmap(spark, msgs, [(1, "x")], [(2, "y")])
+    assert "Exchange" not in plan_of(dec)
