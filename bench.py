@@ -138,7 +138,7 @@ def scale_probe() -> None:
 
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
-    res = run_ingest(spark, SF_DIR, replicate=SCALE_REPLICATE, trials=2,
+    res = run_ingest(spark, SF_DIR, replicate=SCALE_REPLICATE, trials=3,
                      only_steps={"messages"})
     res["cpus"] = CPUS
     print("PROBE_JSON:" + json.dumps(res))
@@ -146,6 +146,7 @@ def scale_probe() -> None:
 
 
 def run_scaling() -> dict | None:
+    time.sleep(8)  # let the main session's JVM shutdown + page flush settle
     out = {}
     for cpus in (SCALE_LO, SCALE_HI):
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
