@@ -234,22 +234,27 @@ def simhash_sketches(
     schema = StructType([StructField("id", LongType()), StructField("simhash", LongType())])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shifts = np.arange(64, dtype=np.uint64)
+
         for pdf in batches:
-            ids, hashes = [], []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
-                votes = np.zeros(64, dtype=np.int64)
-                for w in (text or "").split(" "):
-                    h = np.uint64(stable_hash64(w))
-                    bits = ((h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-                    votes += 2 * bits - 1
-                sh = 0
-                for bit in range(64):
-                    if votes[bit] > 0:
-                        sh |= 1 << bit
-                if sh >= 1 << 63:
-                    sh -= 1 << 64
-                ids.append(did)
-                hashes.append(sh)
-            yield pd.DataFrame({"id": ids, "simhash": hashes})
+            word_lists = [(t or "").split(" ") for t in pdf[text_col]]
+            counts = np.fromiter((len(w) for w in word_lists), np.int64, len(pdf))
+            flat = [w for lst in word_lists for w in lst]
+            # batch-level: hash all words once, expand to a (words x 64)
+            # ±1 bit matrix, then per-doc sums via add.reduceat
+            hv = np.fromiter(
+                (stable_hash64(w) for w in flat), dtype=np.uint64, count=len(flat)
+            )
+            bits = ((hv[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            pm = 2 * bits - 1
+            offs = np.zeros(len(pdf), dtype=np.int64)
+            np.cumsum(counts[:-1], out=offs[1:])
+            votes = np.add.reduceat(pm, offs, axis=0)  # every doc has >=1 word
+            sh = ((votes > 0).astype(np.uint64) << shifts[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+            yield pd.DataFrame(
+                {"id": pdf[id_col].to_numpy(), "simhash": sh.view(np.int64)}
+            )
 
     return df.select(id_col, text_col).mapInPandas(run, schema=schema)

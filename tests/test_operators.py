@@ -104,3 +104,27 @@ def test_ann_lsh_topk_matches_bruteforce_head(spark):
     # the worst case for LSH recall — only the exact-match guarantee plus
     # some overlap is meaningful here
     assert len(set(brute) & set(lsh)) >= 2
+
+
+def test_simhash_matches_scalar_formula(spark):
+    import numpy as np
+
+    from clp_spark.operators.dedup import simhash_sketches, stable_hash64
+
+    def scalar_simhash(text):
+        votes = np.zeros(64, dtype=np.int64)
+        for w in (text or "").split(" "):
+            h = np.uint64(stable_hash64(w))
+            bits = ((h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+            votes += 2 * bits - 1
+        sh = 0
+        for bit in range(64):
+            if votes[bit] > 0:
+                sh |= 1 << bit
+        return sh - (1 << 64) if sh >= 1 << 63 else sh
+
+    rows = [(1, "the quick brown fox"), (2, ""), (3, "a"), (4, "x y z x y")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["id"]: r["simhash"] for r in simhash_sketches(df).collect()}
+    for i, t in rows:
+        assert got[i] == scalar_simhash(t), (i, t)
