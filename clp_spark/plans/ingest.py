@@ -132,6 +132,15 @@ def ingest(
     step_secs = manifest["metrics"].setdefault("step_secs", {})
     t_start = time.time()
 
+    # The pipeline is shuffle-free after this point, so task parallelism ==
+    # input splits. A narrow source (one small file, an exploded literal)
+    # would otherwise serialize the whole job on one core; widen it up front.
+    # The repartition moves RAW text rows once — far cheaper than shuffling
+    # encoded rows later, and a no-op on well-split cluster inputs.
+    target = spark.sparkContext.defaultParallelism
+    if transcripts.rdd.getNumPartitions() < target:
+        transcripts = transcripts.repartition(target)
+
     parsed = P.parse_encode(transcripts)
     enriched = None
     if dim_role is not None and dim_tool is not None:
