@@ -200,6 +200,61 @@ def _wildcard_segments(pattern: str) -> list[str]:
     return segs
 
 
+_TOKEN_CHARS = frozenset(
+    "+-.\\_0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+)
+
+
+def _token_runs(pattern: str) -> list[str]:
+    """Maximal token-char-only runs of a wildcard pattern (escapes resolved;
+    '*' and '?' break runs — '?' may stand for a delimiter)."""
+    runs, cur = [], []
+    i, n = 0, len(pattern)
+    while i < n:
+        c = pattern[i]
+        if c == "\\" and i + 1 < n:
+            i += 1
+            c = pattern[i]
+            literal = True
+        else:
+            literal = False
+        if (not literal and c in "*?") or c not in _TOKEN_CHARS:
+            if cur:
+                runs.append("".join(cur))
+                cur = []
+        else:
+            cur.append(c)
+        i += 1
+    if cur:
+        runs.append("".join(cur))
+    return runs
+
+
+_NUMERIC_RUN_CHARS = frozenset("0123456789.-")
+
+
+def query_wont_match(query: str, logtype_strings, var_strings) -> bool:
+    """Global WontMatch check (reference SubQuery WontMatch / imprecise-var
+    wildcard dictionary lookup, clp/GrepCore.hpp:98-102 +
+    DictionaryReader.hpp:275+): a message token is entirely static text or
+    entirely one variable, so every token-char run of the query must appear
+    as a substring of some logtype template, some dictionary variable, or a
+    possible int/float rendering. If any run can appear nowhere, NO message
+    matches. SOUND over-approximation: placeholder bytes are non-token
+    chars, so runs cannot falsely span a variable boundary in a template,
+    and runs made only of [0-9.-] are exempt (they could sit inside an
+    encoded numeric variable, which is not dictionary-enumerable)."""
+    for run in _token_runs(normalize_query(query)):
+        if all(c in _NUMERIC_RUN_CHARS for c in run):
+            continue  # could live inside an int/float variable
+        if any(run in lt for lt in logtype_strings):
+            continue
+        if any(run in v for v in var_strings):
+            continue
+        return True
+    return False
+
+
 def var_sequence_filter(needles: list[list[int]]):
     """Column predicate: the slot candidate sets must match a subsequence of
     encoded_vars, in order (reference SubQuery::matches_vars,
@@ -222,6 +277,8 @@ def search(
     end_ts_ms: int | None = None,
     ignore_case: bool = False,
     prune_vars: bool = False,
+    lt_rows: list | None = None,
+    vd_rows: list | None = None,
 ) -> DataFrame:
     """Full wildcard search -> (conv_id, turn_idx, text) of matching turns.
 
@@ -230,10 +287,20 @@ def search(
     semi-filter, optional encoded-variable subsequence prune, then decode +
     wildcard confirm. `ignore_case` follows clg's --ignore-case
     (clp/GrepCore.hpp process_raw_query use_ignore_case).
+
+    lt_rows / vd_rows: pre-collected dictionaries [(id, string), ...] —
+    pass them to amortize dictionary loading across queries (the reference
+    keeps per-archive dictionaries resident too); otherwise collected here.
     """
     from .pipeline import decode_messages
 
+    spark = messages.sparkSession
     q = normalize_query(query)
+
+    def empty():
+        return spark.createDataFrame(
+            [], "conv_id string, turn_idx int, text string"
+        )
 
     filtered = messages
     if begin_ts_ms is not None:
@@ -243,10 +310,32 @@ def search(
 
     # Driver-side dictionary prune (dictionary is small; collect is bounded
     # by #distinct templates, not data size).
-    lt_rows = [
-        (r["logtype_id"], r["logtype"])
-        for r in logtype_dict.select("logtype_id", "logtype").collect()
-    ]
+    if lt_rows is None:
+        lt_rows = [
+            (r["logtype_id"], r["logtype"])
+            for r in logtype_dict.select("logtype_id", "logtype").collect()
+        ]
+    if vd_rows is None:
+        sample = (
+            var_dict.select("var_id", "var_str").limit(DICT_BROADCAST_LIMIT + 1).collect()
+        )
+        if len(sample) <= DICT_BROADCAST_LIMIT:
+            vd_rows = [(r["var_id"], r["var_str"]) for r in sample]
+
+    # Global WontMatch precheck (dictionary-wide wildcard lookup): a query
+    # term that appears in no template and no dictionary variable cannot
+    # match anything — skip the scan entirely.
+    if vd_rows is not None:
+        lts = [lt for _, lt in lt_rows]
+        vs = [v for _, v in vd_rows]
+        if ignore_case:
+            if query_wont_match(
+                q.lower(), [s.lower() for s in lts], [s.lower() for s in vs]
+            ):
+                return empty()
+        elif query_wont_match(q, lts, vs):
+            return empty()
+
     if ignore_case:
         cand = [
             lid
@@ -256,38 +345,30 @@ def search(
     else:
         cand = candidate_logtype_ids(lt_rows, query)
     if not cand:
-        return (
-            decode_messages(filtered.limit(0), logtype_dict, var_dict)
-        )  # empty, stable schema
+        return empty()
     if len(cand) < len(lt_rows):
         filtered = filtered.filter(F.col("logtype_id").isin(cand))
 
     if prune_vars and not ignore_case:
-        var_rows = [
-            (r["var_id"], r["var_str"])
-            for r in var_dict.select("var_id", "var_str").collect()
-        ]
+        var_rows = vd_rows
+        if var_rows is None:
+            var_rows = [
+                (r["var_id"], r["var_str"])
+                for r in var_dict.select("var_id", "var_str").collect()
+            ]
         needles = query_var_candidates(query, var_rows)
         if any(len(s) == 0 for s in needles):
-            return decode_messages(filtered.limit(0), logtype_dict, var_dict)
+            return empty()
         if needles:
             filtered = filtered.filter(var_sequence_filter(needles))
 
     # Decode strategy: when the var dictionary is collectible (CLP's own
     # in-memory-dictionaries assumption for decompression), use the
     # shuffle-free broadcast-dictmap decode; otherwise the join-based one.
-    decoded = None
-    vd_sample = var_dict.select("var_id", "var_str").limit(DICT_BROADCAST_LIMIT + 1).collect()
-    if len(vd_sample) <= DICT_BROADCAST_LIMIT:
+    if vd_rows is not None and len(vd_rows) <= DICT_BROADCAST_LIMIT:
         from .pipeline import decode_messages_dictmap
 
-        spark = messages.sparkSession
-        decoded = decode_messages_dictmap(
-            spark,
-            filtered,
-            lt_rows,
-            [(r["var_id"], r["var_str"]) for r in vd_sample],
-        )
+        decoded = decode_messages_dictmap(spark, filtered, lt_rows, vd_rows)
     else:
         decoded = decode_messages(filtered, logtype_dict, var_dict)
     rx = wildcard_to_regex(q)

@@ -360,6 +360,9 @@ def decode_archive(spark: SparkSession, out_dir: str) -> DataFrame:
     return P.decode_messages(msgs, lt, vd)
 
 
+_DICT_CACHE: dict = {}
+
+
 def select_archives(
     archive_dirs: list[str],
     *,
@@ -424,7 +427,29 @@ def search_archives(
         .dropDuplicates(["logtype_id"])
     )
     vd = union_read("var_dict").select("var_id", "var_str").dropDuplicates(["var_id"])
+
+    # Per-archive-set dictionary cache: archives are immutable snapshots, so
+    # repeated queries skip the collect (the reference keeps per-archive
+    # dictionaries resident across searches too). Bounded LRU-ish.
+    key = tuple(dirs)
+    cached = _DICT_CACHE.get(key)
+    if cached is None:
+        from .grep import DICT_BROADCAST_LIMIT
+
+        lt_rows = [(r["logtype_id"], r["logtype"]) for r in lt.collect()]
+        sample = vd.limit(DICT_BROADCAST_LIMIT + 1).collect()
+        vd_rows = (
+            [(r["var_id"], r["var_str"]) for r in sample]
+            if len(sample) <= DICT_BROADCAST_LIMIT
+            else None
+        )
+        if len(_DICT_CACHE) >= 8:
+            _DICT_CACHE.pop(next(iter(_DICT_CACHE)))
+        cached = _DICT_CACHE[key] = (lt_rows, vd_rows)
+    lt_rows, vd_rows = cached
+
     return search(
         msgs, lt, vd, query,
-        begin_ts_ms=begin_ts_ms, end_ts_ms=end_ts_ms, **search_kw,
+        begin_ts_ms=begin_ts_ms, end_ts_ms=end_ts_ms,
+        lt_rows=lt_rows, vd_rows=vd_rows, **search_kw,
     )

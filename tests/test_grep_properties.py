@@ -72,3 +72,18 @@ def test_var_slots_are_subsequence_of_match(message, query):
         if idx < len(slots) and v in slots[idx]:
             idx += 1
     assert idx >= len(slots), (message, query, slots, seq)
+
+
+@settings(max_examples=400, deadline=None)
+@given(MESSAGES, QUERIES)
+def test_wont_match_is_sound(message, query):
+    """query_wont_match may only fire when NO message matches — if the query
+    regex-matches this message, the precheck over this message's own
+    dictionaries must pass."""
+    from clp_spark.plans.grep import query_wont_match
+
+    q = normalize_query(query)
+    if not re.fullmatch("(?s)" + wildcard_to_regex(q), message):
+        return
+    lt, vt, dv, en = encode_text(message)
+    assert not query_wont_match(query, [lt], list(dv)), (message, query, lt, dv)
