@@ -82,6 +82,22 @@ def q_tool_counts(spark, sf_dir):
     return P.per_tool_counts(enriched)
 
 
+def q_role_counts(spark, sf_dir):
+    """Broadcast enrich on the role dimension (reference lookup-join
+    pattern, SURVEY §2.3)."""
+    enriched = P.enrich(_parsed(spark, sf_dir), dim_role(spark), dim_tool(spark))
+    return enriched.groupBy("role", "role_group", "is_human").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def q_kql_count_by_time(spark, sf_dir):
+    """KQL + count-by-time output handler (clp_s count-by-time pipeline,
+    clp_s/OutputHandlerImpl.cpp)."""
+    t = load_transcripts(spark, sf_dir)
+    return P.count_by_time(kql_filter(t, "tool: search OR tool: browser"), bucket_ms=3_600_000)
+
+
 def q_conversation_counts(spark, sf_dir):
     return P.per_conversation_counts(_parsed(spark, sf_dir))
 
@@ -368,6 +384,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dict_var_counts": q_dict_var_counts,
         "var_type_counts": q_var_type_counts,
         "tool_counts": q_tool_counts,
+        "role_counts": q_role_counts,
+        "kql_count_by_time": q_kql_count_by_time,
         "conversation_counts": q_conversation_counts,
         "count_by_time": q_count_by_time,
         "roundtrip_mismatches": q_roundtrip_mismatches,
@@ -519,6 +537,17 @@ def oracle_sql() -> dict[str, str]:
             + f"SELECT t.tool, d.tool_family, d.cost_class, count(*) AS cnt "
               f"FROM transcripts t JOIN ({DIM_TOOL_SQL}) d ON t.tool = d.tool "
               f"GROUP BY 1, 2, 3"
+        ),
+        "role_counts": (
+            _CTE
+            + f"SELECT t.role, d.role_group, d.is_human, count(*) AS cnt "
+              f"FROM transcripts t JOIN ({DIM_ROLE_SQL}) d ON t.role = d.role "
+              f"GROUP BY 1, 2, 3"
+        ),
+        "kql_count_by_time": (
+            _CTE
+            + "SELECT (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms, count(*) AS cnt "
+              "FROM transcripts WHERE tool = 'search' OR tool = 'browser' GROUP BY 1"
         ),
         "conversation_counts": (
             _CTE
