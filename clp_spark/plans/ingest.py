@@ -351,12 +351,25 @@ def compact_bucket(
 
 def decode_archive(spark: SparkSession, out_dir: str) -> DataFrame:
     """Round-trip decode of an ingested archive back to original text
-    (reference FileDecompressor / JsonConstructor analog): messages ⋈
-    logtype_dict ⋈ var_dict -> (conv_id, turn_idx, text), stable
-    (conv_id, turn_idx) ordering restored by the caller's sort."""
+    (reference FileDecompressor / JsonConstructor analog) ->
+    (conv_id, turn_idx, text); stable (conv_id, turn_idx) ordering restored
+    by the caller's sort. Uses the shuffle-free in-memory-dictionary decode
+    when the var dictionary is collectible (the reference decompressor's
+    model: dictionaries load fully before reading segments), else the
+    broadcast-join decode."""
+    from .grep import DICT_BROADCAST_LIMIT
+
     msgs = spark.read.parquet(os.path.join(out_dir, "messages"))
     lt = spark.read.parquet(os.path.join(out_dir, "logtype_dict"))
     vd = spark.read.parquet(os.path.join(out_dir, "var_dict"))
+    sample = vd.select("var_id", "var_str").limit(DICT_BROADCAST_LIMIT + 1).collect()
+    if len(sample) <= DICT_BROADCAST_LIMIT:
+        return P.decode_messages_dictmap(
+            spark,
+            msgs,
+            [(r["logtype_id"], r["logtype"]) for r in lt.select("logtype_id", "logtype").collect()],
+            [(r["var_id"], r["var_str"]) for r in sample],
+        )
     return P.decode_messages(msgs, lt, vd)
 
 
