@@ -94,15 +94,17 @@ def ngram_jaccard_pairs(
     )
 
 
-_PRIME = (1 << 61) - 1
+_PRIME = (1 << 31) - 1  # Mersenne; a*x < 2^62 fits int64 AND the mod wraps
 
 
 def _minhash_params(num_hashes: int, seed: int = 42):
-    """Universal-hash coefficients sized so a*h32 + b fits int64:
-    a < 2^30, h32 < 2^32 -> product < 2^62 (no bigint/object math)."""
+    """Universal-hash coefficients over GF(2^31-1). The modulus must be
+    SMALLER than the coefficient/input range or (a*x+b) mod p is monotone
+    in x and every hash function picks the same argmin — min-wise
+    independence requires the mod to actually wrap."""
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, 1 << 30, size=num_hashes).astype(np.int64)
-    b = rng.randint(0, 1 << 30, size=num_hashes).astype(np.int64)
+    a = rng.randint(1, _PRIME, size=num_hashes).astype(np.int64)
+    b = rng.randint(0, _PRIME, size=num_hashes).astype(np.int64)
     return a, b
 
 
@@ -114,49 +116,86 @@ def minhash_signatures(
     id_col: str = "doc_id",
     seed: int = 42,
 ) -> DataFrame:
-    """MinHash signatures, batch-vectorized: ALL shingles of an Arrow batch
-    hash through the universal-hash bank in one int64 numpy matrix, and
-    per-doc minima come from np.minimum.reduceat — no per-doc Python work
-    beyond the shingle split. Docs are processed in sub-chunks so the
-    (shingles x num_hashes) matrix stays ~100 MB regardless of batch size."""
+    """MinHash signatures, fully batch-vectorized:
+
+      1. split all docs of the Arrow batch into one flat word array;
+      2. hash only the DISTINCT words (pd.factorize — vocabulary is much
+         smaller than the occurrence stream);
+      3. shingle hashes = positional combination of k consecutive word
+         hashes (wrapping uint64 arithmetic — no shingle strings are ever
+         materialized);
+      4. the universal-hash bank maps every shingle through num_hashes
+         functions in one int64 matrix; per-doc minima via
+         np.minimum.reduceat.
+
+    min() over a multiset equals min() over the set, so shingle
+    deduplication is unnecessary. Docs are processed in sub-chunks to bound
+    the (shingles x num_hashes) matrix size."""
     a_params, b_params = _minhash_params(num_hashes, seed)
+    # odd constants for the positional word-hash combination
+    combine = (
+        np.arange(1, k + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        | np.uint64(1)
+    )
     schema = StructType(
         [StructField("id", LongType()), StructField("sig", ArrayType(LongType()))]
     )
-    chunk_docs = 2000
+    chunk_docs = 4000
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids_out, sigs_out = [], []
             for lo in range(0, len(pdf), chunk_docs):
                 sub = pdf.iloc[lo : lo + chunk_docs]
-                shingle_lists = [sorted(shingle_set(t or "", k)) for t in sub[text_col]]
-                counts = np.fromiter(
-                    (len(s) for s in shingle_lists), dtype=np.int64, count=len(sub)
+                word_lists = [(t or "").split(" ") for t in sub[text_col]]
+                nwords = np.fromiter(
+                    (len(w) for w in word_lists), dtype=np.int64, count=len(sub)
                 )
-                flat = [s for lst in shingle_lists for s in lst]
-                nonempty = counts > 0
-                if flat:
-                    hv = np.fromiter(
-                        (stable_hash64(s) & 0xFFFFFFFF for s in flat),
-                        dtype=np.int64,
-                        count=len(flat),
-                    )
-                    m = (hv[:, None] * a_params[None, :] + b_params[None, :]) % _PRIME
-                    offs = np.zeros(int(nonempty.sum()), dtype=np.int64)
-                    np.cumsum(counts[nonempty][:-1], out=offs[1:])
-                    mins = np.minimum.reduceat(m, offs, axis=0)
+                flat = [w for lst in word_lists for w in lst]
+                codes, vocab = pd.factorize(np.asarray(flat, dtype=object))
+                vocab_h = np.fromiter(
+                    (stable_hash64(w) for w in vocab), dtype=np.uint64, count=len(vocab)
+                )
+                wh = vocab_h[codes]  # word-hash stream, uint64
+
+                # shingle count per doc: max(n - k + 1, 1) (short docs = one
+                # shingle of all their words, mirroring shingle_set)
+                scnt = np.maximum(nwords - (k - 1), 1)
+                # rolling combination over the flat stream, keeping the
+                # partial sum after each window length (a doc with fewer
+                # than k words uses the partial matching its length, so
+                # windows never mix words across doc boundaries)
+                n = len(wh)
+                partials = np.zeros((k, n), dtype=np.uint64)
+                acc = np.zeros(n, dtype=np.uint64)
+                for j in range(k):
+                    end = n - j
+                    acc[:end] += wh[j:] * combine[j]
+                    partials[j] = acc
+                doc_start = np.zeros(len(sub), dtype=np.int64)
+                np.cumsum(nwords[:-1], out=doc_start[1:])
+                sel = np.repeat(doc_start, scnt) + _ranges_local(scnt)
+                lev = np.repeat(np.minimum(nwords, k), scnt) - 1
+                hv = (partials[lev, sel] % np.uint64(_PRIME)).astype(np.int64)
+
+                m = (hv[:, None] * a_params[None, :] + b_params[None, :]) % _PRIME
+                offs = np.zeros(len(sub), dtype=np.int64)
+                np.cumsum(scnt[:-1], out=offs[1:])
+                mins = np.minimum.reduceat(m, offs, axis=0)
                 ids_out.extend(sub[id_col])
-                mi = 0
-                for ne in nonempty:
-                    if ne:
-                        sigs_out.append(mins[mi].tolist())
-                        mi += 1
-                    else:
-                        sigs_out.append([0] * num_hashes)
+                sigs_out.extend(mins[i].tolist() for i in range(len(sub)))
             yield pd.DataFrame({"id": ids_out, "sig": sigs_out})
 
     return df.select(id_col, text_col).mapInPandas(run, schema=schema)
+
+
+def _ranges_local(counts: np.ndarray) -> np.ndarray:
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
 
 
 def minhash_lsh_pairs(
