@@ -373,6 +373,13 @@ def q_ann_topk(spark, sf_dir):
     return SIM.cosine_topk(e, _query_vec(spark, sf_dir), k=10)
 
 
+def q_cosine_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs: hyperplane-signature bucket
+    self-join + exact cosine verify (hash-based -> rows-only check)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SIM.cosine_neardup_pairs(e, threshold=0.2, bits=6)
+
+
 def q_ann_topk_lsh(spark, sf_dir):
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return SIM.ann_topk_lsh(e, _query_vec(spark, sf_dir), k=10)
@@ -420,6 +427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "cosine_neardup": q_cosine_neardup,
     }
 
 
