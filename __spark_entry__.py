@@ -652,7 +652,7 @@ def oracle_sql() -> dict[str, str]:
               FROM lines
             )
             SELECT file_id, cast(msg_idx as bigint) AS msg_idx,
-              cast(coalesce(max(CASE WHEN has_ts = 1 THEN 9 END), -1) as bigint) AS pattern_id,
+              cast(coalesce(max(CASE WHEN has_ts = 1 THEN 15 END), -1) as bigint) AS pattern_id,
               max(CASE WHEN has_ts = 1
                   THEN cast(regexp_extract(line, '(\d{13})', 1) as bigint) END) AS ts_ms,
               string_agg(CASE WHEN has_ts = 1 THEN regexp_replace(line, '\d{13}', '')

@@ -46,25 +46,43 @@ class TsPattern:
 
 
 # Order matters (first match wins), like the reference's static list.
-PATTERNS: list[TsPattern] = [
+# pattern_id == list index (asserted below; render_timestamp indexes by id).
+_PATTERN_SPECS = [
+    # 2016-05-08 07:34:05.251000 (ms-precision micros; last 3 digits must be
+    # zero or the stored epoch-ms could not re-render the original bytes)
+    (r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{3}000", "%Y-%m-%d %H:%M:%S.%3000"),
     # 2016-05-08T07:34:05.251 / 2016-05-08 07:34:05.251
-    TsPattern(0, r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}", "%Y-%m-%dT%H:%M:%S.%3"),
-    TsPattern(1, r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{3}", "%Y-%m-%d %H:%M:%S.%3"),
-    # 2016-05-08T07:34:05,251 (comma millis)
-    TsPattern(2, r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2},\d{3}", "%Y-%m-%dT%H:%M:%S,%3"),
-    TsPattern(3, r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2},\d{3}", "%Y-%m-%d %H:%M:%S,%3"),
+    (r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}", "%Y-%m-%dT%H:%M:%S.%3"),
+    (r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{3}", "%Y-%m-%d %H:%M:%S.%3"),
+    # comma millis
+    (r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2},\d{3}", "%Y-%m-%dT%H:%M:%S,%3"),
+    (r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2},\d{3}", "%Y-%m-%d %H:%M:%S,%3"),
     # seconds precision
-    TsPattern(4, r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}", "%Y-%m-%dT%H:%M:%S"),
-    TsPattern(5, r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}", "%Y-%m-%d %H:%M:%S"),
-    # 08/May/2016:07:34:05 +0000 (apache clf, fixed offset kept as text)
-    TsPattern(6, r"\d{2}/[A-Z][a-z]{2}/\d{4}:\d{2}:\d{2}:\d{2}", "%d/%b/%Y:%H:%M:%S"),
-    # May  8 07:34:05 / May 08 07:34:05 (syslog, no year -> 1970)
-    TsPattern(7, r"[A-Z][a-z]{2} [ \d]\d \d{2}:\d{2}:\d{2}", "%b %e %H:%M:%S"),
+    (r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}", "%Y-%m-%dT%H:%M:%S"),
+    (r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}", "%Y-%m-%d %H:%M:%S"),
+    # 08/May/2016:07:34:05 +0000 (apache clf, offset kept as message text)
+    (r"\d{2}/[A-Z][a-z]{2}/\d{4}:\d{2}:\d{2}:\d{2}", "%d/%b/%Y:%H:%M:%S"),
+    # 08-May-2016 07:34:05.251 (java util logging)
+    (r"\d{2}-[A-Z][a-z]{2}-\d{4} \d{2}:\d{2}:\d{2}\.\d{3}", "%d-%b-%Y %H:%M:%S.%3"),
+    # Sun May  8 07:34:05 2016 (apache error log / asctime)
+    (r"[A-Z][a-z]{2} [A-Z][a-z]{2} [ \d]\d \d{2}:\d{2}:\d{2} \d{4}", "%a %b %e %H:%M:%S %Y"),
+    # May  8 07:34:05 (syslog, no year -> 1970)
+    (r"[A-Z][a-z]{2} [ \d]\d \d{2}:\d{2}:\d{2}", "%b %e %H:%M:%S"),
     # 05/08/2016 07:34:05
-    TsPattern(8, r"\d{2}/\d{2}/\d{4} \d{2}:\d{2}:\d{2}", "%m/%d/%Y %H:%M:%S"),
-    # epoch millis / epoch seconds as the whole leading token
-    TsPattern(9, r"\d{13}", "%EPOCH_MS"),
-    TsPattern(10, r"\d{10}", "%EPOCH_S"),
+    (r"\d{2}/\d{2}/\d{4} \d{2}:\d{2}:\d{2}", "%m/%d/%Y %H:%M:%S"),
+    # 16/05/08 07:34:05 (two-digit year — spark/hadoop log4j default)
+    (r"\d{2}/\d{2}/\d{2} \d{2}:\d{2}:\d{2}", "%y/%m/%d %H:%M:%S"),
+    # 08.05.2016 07:34:05 (dotted European)
+    (r"\d{2}\.\d{2}\.\d{4} \d{2}:\d{2}:\d{2}", "%d.%m.%Y %H:%M:%S"),
+    # 20160508073405 compact — MUST precede the 13-digit epoch pattern
+    (r"\d{14}", "%Y%m%d%H%M%S"),
+    # epoch millis / epoch seconds
+    (r"\d{13}", "%EPOCH_MS"),
+    (r"\d{10}", "%EPOCH_S"),
+]
+
+PATTERNS: list[TsPattern] = [
+    TsPattern(i, rx, fmt) for i, (rx, fmt) in enumerate(_PATTERN_SPECS)
 ]
 
 _COMPILED = [(p, re.compile(p.regex)) for p in PATTERNS]
@@ -79,7 +97,11 @@ def _parse_match(p: TsPattern, s: str) -> int:
         return int(s) * 1000
     fmt = p.fmt
     ms = 0
-    if "%3" in fmt:
+    if fmt.endswith("%3000"):  # ms-precision microseconds: .dddddd, ddd == 0
+        ms = int(s[-6:-3])
+        s = s[:-7]
+        fmt = fmt[: -len(".%3000")]
+    elif "%3" in fmt:
         ms = int(s[-3:])
         s = s[:-4]
         fmt = fmt[:-3].rstrip(".,").replace("%3", "")

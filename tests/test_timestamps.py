@@ -12,17 +12,23 @@ from clp_spark.functions.timestamps import (
 )
 
 CASES = [
-    ("2016-05-08T07:34:05.251 container started", 0, 1462692845251),
-    ("2016-05-08 07:34:05.251 container started", 1, 1462692845251),
-    ("2016-05-08T07:34:05,251 x", 2, 1462692845251),
-    ("2016-05-08 07:34:05,251 x", 3, 1462692845251),
-    ("2016-05-08T07:34:05 x", 4, 1462692845000),
-    ("prefix 2016-05-08 07:34:05 suffix", 5, 1462692845000),
-    ("08/May/2016:07:34:05 +0000 GET /", 6, 1462692845000),
-    ("May  8 07:34:05 host sshd[1]: msg", 7, None),
-    ("05/08/2016 07:34:05 event", 8, 1462692845000),
-    ("1462692845251 payload", 9, 1462692845251),
-    ("1462692845 payload", 10, 1462692845000),
+    ("2016-05-08 07:34:05.251000 micros", 0, 1462692845251),
+    ("2016-05-08T07:34:05.251 container started", 1, 1462692845251),
+    ("2016-05-08 07:34:05.251 container started", 2, 1462692845251),
+    ("2016-05-08T07:34:05,251 x", 3, 1462692845251),
+    ("2016-05-08 07:34:05,251 x", 4, 1462692845251),
+    ("2016-05-08T07:34:05 x", 5, 1462692845000),
+    ("prefix 2016-05-08 07:34:05 suffix", 6, 1462692845000),
+    ("08/May/2016:07:34:05 +0000 GET /", 7, 1462692845000),
+    ("08-May-2016 07:34:05.251 jul", 8, 1462692845251),
+    ("Sun May  8 07:34:05 2016 apache error", 9, 1462692845000),
+    ("May  8 07:34:05 host sshd[1]: msg", 10, None),
+    ("05/08/2016 07:34:05 event", 11, 1462692845000),
+    ("16/05/08 07:34:05 INFO SparkContext", 12, 1462692845000),
+    ("08.05.2016 07:34:05 dotted", 13, 1462692845000),
+    ("20160508073405 compact", 14, 1462692845000),
+    ("1462692845251 payload", 15, 1462692845251),
+    ("1462692845 payload", 16, 1462692845000),
     ("no timestamp here", -1, None),
     ("", -1, None),
 ]
@@ -49,7 +55,10 @@ def test_roundtrip_render():
 def test_first_match_wins_ordering():
     # millis pattern must win over its seconds-precision prefix
     out = search_timestamp_batch(pd.Series(["2016-05-08T07:34:05.251"]))
-    assert out["pattern_id"].iat[0] == 0
+    assert out["pattern_id"].iat[0] == 1
+    # 14-digit compact must win over the 13-digit epoch prefix
+    out = search_timestamp_batch(pd.Series(["20160508073405"]))
+    assert out["pattern_id"].iat[0] == 14
 
 
 @pytest.fixture(scope="module")
@@ -76,11 +85,11 @@ def test_stitch_boundaries(spark, stitched):
     assert r0["pattern_id"] == -1 and r0["content"] == "starting up"
     # multi-line message glued in order, ts cut out
     r1 = rows[("f1", 1)]
-    assert r1["pattern_id"] == 0 and r1["ts_ms"] == 1462692845251
+    assert r1["pattern_id"] == 1 and r1["ts_ms"] == 1462692845251
     assert r1["content"] == " job started\n  continuation line\n  another continuation"
     r2 = rows[("f1", 2)]
     assert r2["content"] == " job done"
-    assert rows[("f2", 1)]["pattern_id"] == 9
+    assert rows[("f2", 1)]["pattern_id"] == 15
 
 
 def test_stitch_roundtrip(spark, stitched):
