@@ -204,6 +204,22 @@ def q_json_schema_counts(spark, sf_dir):
     )
 
 
+def q_json_schema_counts_structurized(spark, sf_dir):
+    """clp_s --structurize-arrays: array elements as per-index schema nodes
+    (reference StructuredArray, clp_s/SchemaTree.hpp:32-46)."""
+    from clp_spark.plans.semistructured import (
+        infer_json_schema,
+        parse_json,
+        with_schema_id_structurized,
+    )
+    from clp_spark.sources.jsonlogs import load_jsonlogs
+
+    df = load_jsonlogs(spark, sf_dir)
+    schema = infer_json_schema(spark, df, "json")
+    parsed = with_schema_id_structurized(parse_json(df, "json", schema), schema)
+    return parsed.groupBy("schema_keys").agg(F.count("*").alias("cnt"))
+
+
 def q_json_kql_error(spark, sf_dir):
     """KQL over typed nested columns (clp_s search analog)."""
     flat = _json_parsed(spark, sf_dir).select("event_id", "rec.*")
@@ -409,6 +425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "glt_logtype_table": q_glt_logtype_table,
         "stitch_messages": q_stitch_messages,
         "json_schema_counts": q_json_schema_counts,
+        "json_schema_counts_structurized": q_json_schema_counts_structurized,
         "json_kql_error": q_json_kql_error,
         "json_kql_tags": q_json_kql_tags,
         "json_kql_wildcard_key": q_json_kql_wildcard_key,
@@ -666,6 +683,15 @@ def oracle_sql() -> dict[str, str]:
             "WHEN 1 THEN 'component,latency_ms,level' "
             "WHEN 2 THEN 'err.code,err.msg,host,level' "
             "WHEN 3 THEN 'latency_ms,level,tags' "
+            "ELSE 'metric,value' END AS schema_keys, count(*) AS cnt "
+            "FROM events GROUP BY 1"
+        ),
+        "json_schema_counts_structurized": (
+            "SELECT CASE cast(event_id % 5 as int) "
+            "WHEN 0 THEN 'component,latency_ms,level' "
+            "WHEN 1 THEN 'component,latency_ms,level' "
+            "WHEN 2 THEN 'err.code,err.msg,host,level' "
+            "WHEN 3 THEN 'latency_ms,level,tags[0],tags[1]' "
             "ELSE 'metric,value' END AS schema_keys, count(*) AS cnt "
             "FROM events GROUP BY 1"
         ),

@@ -101,3 +101,46 @@ def schema_table(parsed: DataFrame, schema_keys: str, parsed_col: str = "rec") -
     return rows.select(
         "event_id", *[F.col(f"{parsed_col}.{p}").alias(p.replace(".", "_")) for p in cols]
     )
+
+
+def with_schema_id_structurized(
+    df: DataFrame, schema: T.StructType, parsed_col: str = "rec", max_elems: int = 64
+) -> DataFrame:
+    """`--structurize-arrays` analog (reference StructuredArray node type,
+    clp_s/SchemaTree.hpp:32-46 + JsonParser structurize mode): each array
+    ELEMENT becomes its own schema node `path[i]`, so records with
+    different array lengths land in different schemas. Non-array leaves
+    contribute their path as before; schema_keys is sorted for a canonical
+    set representation."""
+    parts = []
+    for p in leaf_paths(schema):
+        col = F.col(f"{parsed_col}.{p}")
+        dt = _leaf_type(schema, p)
+        if isinstance(dt, T.ArrayType):
+            parts.append(
+                F.when(
+                    col.isNotNull(),
+                    F.expr(
+                        f"transform(sequence(0, least(size({parsed_col}.{p}), {max_elems}) - 1), "
+                        f"i -> concat('{p}[', i, ']'))"
+                    ),
+                ).otherwise(F.expr("cast(array() as array<string>)"))
+            )
+        else:
+            parts.append(
+                F.when(col.isNotNull(), F.array(F.lit(p))).otherwise(
+                    F.expr("cast(array() as array<string>)")
+                )
+            )
+    present = F.array_sort(F.flatten(F.array(*parts)))
+    return df.withColumn("schema_keys", F.array_join(present, ",")).withColumn(
+        "schema_id", F.xxhash64("schema_keys")
+    )
+
+
+def _leaf_type(schema: T.StructType, dotted: str) -> T.DataType:
+    cur: T.DataType = schema
+    for part in dotted.split("."):
+        assert isinstance(cur, T.StructType), dotted
+        cur = cur[part].dataType
+    return cur
