@@ -80,3 +80,16 @@ def test_errors(spark, df):
         parse_kql("level:")
     with pytest.raises(Exception):
         kql_filter(df, "nosuchcol: 5").collect()
+
+
+def test_timestamp_comparisons(spark):
+    from clp_spark.sources.transcripts import load_transcripts
+
+    t = load_transcripts(spark, "/root/testdata/sf0.001")
+    got = kql_filter(t, 'ts >= "2024-01-02 00:00:00" AND ts < "2024-01-05 00:00:00"')
+    import pyspark.sql.functions as F
+
+    direct = t.filter(
+        (F.col("ts") >= "2024-01-02 00:00:00") & (F.col("ts") < "2024-01-05 00:00:00")
+    )
+    assert got.count() == direct.count() > 0
