@@ -466,3 +466,41 @@ def search_archives(
         begin_ts_ms=begin_ts_ms, end_ts_ms=end_ts_ms,
         lt_rows=lt_rows, vd_rows=vd_rows, **search_kw,
     )
+
+
+def compact_archive(
+    spark: SparkSession, out_dir: str, max_files_per_bucket: int = 4
+) -> dict:
+    """Lineage-driven size-tiered compaction: rewrite every bucket whose
+    file count exceeds the limit (the glt combined-table policy,
+    glt/.../GLTSegment.hpp:83-113 — many small per-logtype tables get
+    packed together). Refreshes the lineage sink afterwards. Returns
+    {bucket: files_before} for the compacted buckets."""
+    lineage_dir = os.path.join(out_dir, "lineage")
+    rows = spark.read.parquet(lineage_dir).collect()
+    compacted = {}
+    for r in rows:
+        if r["n_files"] > max_files_per_bucket:
+            compact_bucket(spark, out_dir, int(r["logtype_bucket"]), target_files=1)
+            compacted[int(r["logtype_bucket"])] = int(r["n_files"])
+    if compacted:
+        sink = spark.read.parquet(os.path.join(out_dir, "messages"))
+        lineage = (
+            sink.select("logtype_bucket", "ts")
+            .groupBy("logtype_bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min(P.ts_millis("ts")).alias("begin_ts_ms"),
+                F.max(P.ts_millis("ts")).alias("end_ts_ms"),
+            )
+            .withColumn(
+                "n_files",
+                _bucket_file_counts_udf(os.path.join(out_dir, "messages"))("logtype_bucket"),
+            )
+        )
+        staging = lineage_dir + ".staging"
+        shutil.rmtree(staging, ignore_errors=True)
+        lineage.coalesce(1).write.mode("overwrite").parquet(staging)
+        shutil.rmtree(lineage_dir)
+        os.replace(staging, lineage_dir)
+    return compacted

@@ -164,3 +164,24 @@ def test_archive_selection_and_multi_archive_search(spark, tmp_path):
     n1 = I.search_archives(spark, [a1], "commit BEEF").count()
     n2 = I.search_archives(spark, [a2], "commit BEEF").count()
     assert hits.count() == n1 + n2 > 0
+
+
+def test_auto_compaction_by_lineage(spark, tmp_path):
+    out = str(tmp_path / "arch_many")
+    t = load_transcripts(spark, SF_DIR).repartition(16)  # 16 files per bucket
+    I.ingest(spark, t, out)
+    lin = {r["logtype_bucket"]: r["n_files"]
+           for r in spark.read.parquet(os.path.join(out, "lineage")).collect()}
+    assert max(lin.values()) > 4
+    before = spark.read.parquet(os.path.join(out, "messages")).count()
+
+    compacted = I.compact_archive(spark, out, max_files_per_bucket=4)
+    assert compacted  # something was over the limit
+    lin2 = {r["logtype_bucket"]: r["n_files"]
+            for r in spark.read.parquet(os.path.join(out, "lineage")).collect()}
+    assert max(lin2.values()) <= 4
+    assert spark.read.parquet(os.path.join(out, "messages")).count() == before
+    # rows per bucket unchanged
+    l1 = {r["logtype_bucket"]: r["n_rows"]
+          for r in spark.read.parquet(os.path.join(out, "lineage")).collect()}
+    assert sum(l1.values()) == before
