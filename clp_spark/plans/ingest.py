@@ -504,3 +504,30 @@ def compact_archive(
         shutil.rmtree(lineage_dir)
         os.replace(staging, lineage_dir)
     return compacted
+
+
+def readable_dictionaries(spark: SparkSession, out_dir: str):
+    """Human-readable dictionary views, deterministically ordered
+    (reference make_dictionaries_readable/): placeholder bytes rendered as
+    \\x11/\\x12/\\x13 markers so templates print safely."""
+    lt = (
+        spark.read.parquet(os.path.join(out_dir, "logtype_dict"))
+        .withColumn(
+            "logtype_readable",
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace("logtype", "\x11", "<int>"), "\x12", "<dict>"
+                ),
+                "\x13",
+                "<float>",
+            ),
+        )
+        .select("logtype_id", "logtype_readable", "n_messages")
+        .orderBy("logtype_readable")
+    )
+    vd = (
+        spark.read.parquet(os.path.join(out_dir, "var_dict"))
+        .select("var_id", "var_str", "n_occurrences")
+        .orderBy("var_str")
+    )
+    return lt, vd

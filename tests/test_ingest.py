@@ -185,3 +185,14 @@ def test_auto_compaction_by_lineage(spark, tmp_path):
     l1 = {r["logtype_bucket"]: r["n_rows"]
           for r in spark.read.parquet(os.path.join(out, "lineage")).collect()}
     assert sum(l1.values()) == before
+
+
+def test_readable_dictionaries(spark, archive):
+    out, _ = archive
+    lt, vd = I.readable_dictionaries(spark, out)
+    rows = [r["logtype_readable"] for r in lt.collect()]
+    assert any("<int>" in r or "<float>" in r or "<dict>" in r for r in rows)
+    assert all("\x11" not in r and "\x12" not in r and "\x13" not in r for r in rows)
+    assert rows == sorted(rows)
+    vs = [r["var_str"] for r in vd.collect()]
+    assert vs == sorted(vs) and len(vs) > 0
