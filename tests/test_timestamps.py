@@ -127,3 +127,23 @@ def test_text_file_ingestion_end_to_end(spark, tmp_path):
         by_file.setdefault(r["file_id"].rsplit("/", 1)[-1], []).append(r["text"])
     assert "\n".join(by_file["a.log"]) + "\n" == f1.read_text()
     assert "\n".join(by_file["b.log"]) + "\n" == f2.read_text()
+
+
+def test_gzip_text_file_ingestion(spark, tmp_path):
+    """Compressed inputs decompress transparently on scan (libarchive-scan
+    analog, reference clp/LibarchiveReader.cpp — Hadoop codec layer)."""
+    import gzip
+
+    content = (
+        "2016-05-08T07:34:05.251 gz job started\n"
+        "  continuation in gz\n"
+        "1462692845251 epoch in gz\n"
+    )
+    with gzip.open(tmp_path / "c.log.gz", "wt") as f:
+        f.write(content)
+
+    from clp_spark.plans.textlogs import ingest_text_logs, render_messages
+
+    rendered = render_messages(ingest_text_logs(spark, str(tmp_path)))
+    texts = [r["text"] for r in rendered.orderBy("msg_idx").collect()]
+    assert "\n".join(texts) + "\n" == content
