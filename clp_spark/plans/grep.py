@@ -398,3 +398,43 @@ def search_count_by_time(
     with_ts = matches.join(messages.select("conv_id", "turn_idx", "ts"), ["conv_id", "turn_idx"])
     bucket = F.expr(f"unix_millis(cast(ts as timestamp)) div {bucket_ms}") * F.lit(bucket_ms)
     return with_ts.groupBy(bucket.alias("bucket_ms")).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def write_search_results(
+    matches: DataFrame,
+    messages: DataFrame,
+    path: str,
+    max_num_results: int = 1000,
+) -> int:
+    """Results-cache sink: keep only the latest `max_num_results` matches by
+    timestamp (the reference results cache's priority-queue semantics,
+    clp/clo/OutputHandler.hpp:121-226, fields per clp_s/archive_constants
+    .hpp:56-62), written as a small parquet table. Spark's
+    TakeOrderedAndProject replaces the per-worker priority queue + the
+    MongoDB upsert. Returns the number of rows written."""
+    import shutil as _sh
+
+    with_ts = matches.join(
+        messages.select("conv_id", "turn_idx", "ts"), ["conv_id", "turn_idx"]
+    )
+    top = (
+        with_ts.orderBy(
+            F.desc("ts"), F.desc("conv_id"), F.desc("turn_idx")
+        )
+        .limit(max_num_results)
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+            "text",
+        )
+    )
+    staging = path + ".staging"
+    _sh.rmtree(staging, ignore_errors=True)
+    top.coalesce(1).write.mode("overwrite").parquet(staging)
+    _sh.rmtree(path, ignore_errors=True)
+    import os as _os
+
+    _os.replace(staging, path)
+    spark = matches.sparkSession
+    return spark.read.parquet(path).count()

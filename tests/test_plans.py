@@ -148,3 +148,28 @@ def test_dictmap_decode_plan_has_no_shuffle(spark):
     msgs = P.encoded_messages(parsed)
     dec = P.decode_messages_dictmap(spark, msgs, [(1, "x")], [(2, "y")])
     assert "Exchange" not in plan_of(dec)
+
+
+def test_results_cache_latest_n(spark, tmp_path):
+    from clp_spark.plans import grep as G
+
+    t = load_transcripts(spark, SF_DIR)
+    parsed = P.parse_encode(t).persist()
+    msgs = P.encoded_messages(parsed)
+    lt, vd = P.build_logtype_dict(parsed), P.build_var_dict(parsed)
+    matches = G.search(msgs, lt, vd, "commit BEEF")
+    total = matches.count()
+    assert total > 10
+    path = str(tmp_path / "results")
+    n = G.write_search_results(matches, msgs, path, max_num_results=10)
+    assert n == 10
+    rows = spark.read.parquet(path).collect()
+    # the cached rows are exactly the 10 LATEST matches
+    all_ts = sorted(
+        (r["ts_ms"] for r in
+         matches.join(msgs.select("conv_id", "turn_idx", "ts"), ["conv_id", "turn_idx"])
+         .select(P.ts_millis("ts").alias("ts_ms")).collect()),
+        reverse=True,
+    )
+    assert sorted((r["ts_ms"] for r in rows), reverse=True) == all_ts[:10]
+    parsed.unpersist()
