@@ -214,6 +214,8 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, num_hashes, k, text_col, id_col)
+    # persist: the self-join consumes the bucket table twice; without the
+    # cache both sides re-run the signature UDF over every document
     buckets = sigs.select(
         "id",
         F.posexplode(
@@ -222,7 +224,7 @@ def minhash_lsh_pairs(
                 f"b -> xxhash64(concat_ws(',', slice(sig, b * {rows_per_band} + 1, {rows_per_band}))))"
             )
         ).alias("band", "bucket"),
-    )
+    ).persist()
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (
@@ -297,3 +299,46 @@ def simhash_sketches(
             )
 
     return df.select(id_col, text_col).mapInPandas(run, schema=schema)
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-duplicate pairs: band-of-bits bucketing + exact Hamming
+    verify. By the pigeonhole principle, two sketches within `max_hamming`
+    bits (< bands) share at least one identical 16-bit band, so the bucket
+    self-join finds every such pair; `bit_count(xor)` (JVM intrinsic)
+    verifies exactly. Returns (id_a, id_b, hamming)."""
+    assert 64 % bands == 0
+    width = 64 // bands
+    sk = simhash_sketches(df, text_col, id_col)
+    buckets = sk.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> (cast(simhash as bigint) >> (b * {width})) & {(1 << width) - 1})"
+            )
+        ).alias("band", "bucket"),
+    ).persist()
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -128,3 +128,20 @@ def test_simhash_matches_scalar_formula(spark):
     got = {r["id"]: r["simhash"] for r in simhash_sketches(df).collect()}
     for i, t in rows:
         assert got[i] == scalar_simhash(t), (i, t)
+
+
+def test_simhash_neardup_pairs_pigeonhole(spark):
+    """Identical docs give hamming 0; the band join must surface every pair
+    within max_hamming (pigeonhole guarantee when max_hamming < bands)."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "the quick brown fox jumps over the lazy cat again and again"),
+        (4, "completely unrelated content with different words entirely here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in DD.simhash_neardup_pairs(df, max_hamming=16).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0
+    assert (1, 4) not in pairs and (2, 4) not in pairs
