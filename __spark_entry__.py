@@ -374,6 +374,13 @@ def q_simhash(spark, sf_dir):
     return DD.simhash_sketches(d)
 
 
+def q_simhash_neardup(spark, sf_dir):
+    """SimHash near-dup pairs (band-of-bits bucketing + Hamming verify;
+    hash-based -> rows-only check)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return DD.simhash_neardup_pairs(d, max_hamming=3)
+
+
 def q_fingerprint(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return TM.fingerprint(d)
@@ -441,6 +448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "simhash": q_simhash,
+        "simhash_neardup": q_simhash_neardup,
         "fingerprint": q_fingerprint,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
