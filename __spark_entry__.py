@@ -53,6 +53,19 @@ def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.parse_encode(load_transcripts(spark, sf_dir))
 
 
+# Queries that persist an intermediate register it here; the next persisting
+# query releases the previous cache, so a long-lived session (the driver runs
+# the whole suite in one SparkSession) never accumulates cached parse results.
+_PERSISTED: list[DataFrame] = []
+
+
+def _tracked_persist(df: DataFrame) -> DataFrame:
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+    _PERSISTED.append(df.persist())
+    return df
+
+
 # ---------------------------------------------------------------- queries ---
 
 def q_logtype_counts(spark, sf_dir):
@@ -108,7 +121,7 @@ def q_count_by_time(spark, sf_dir):
 
 def q_roundtrip_mismatches(spark, sf_dir):
     t = load_transcripts(spark, sf_dir)
-    parsed = P.parse_encode(t).persist()
+    parsed = _tracked_persist(P.parse_encode(t))
     msgs = P.encoded_messages(parsed)
     lt, vd = P.build_logtype_dict(parsed), P.build_var_dict(parsed)
     dec = P.decode_messages(msgs, lt, vd).withColumnRenamed("text", "dec_text")
@@ -119,10 +132,11 @@ def q_roundtrip_mismatches(spark, sf_dir):
 
 
 def _encoded(spark, sf_dir):
-    # persist: messages + both dictionaries + decode all derive from one
-    # parse (in production they read ingested SINKS; here we parse fresh,
-    # and without a cache Catalyst would re-run the tokenizer per branch)
-    parsed = P.parse_encode(load_transcripts(spark, sf_dir)).persist()
+    # persist (tracked): messages + both dictionaries + decode all derive
+    # from one parse (in production they read ingested SINKS; here we parse
+    # fresh, and without a cache Catalyst would re-run the tokenizer per
+    # branch)
+    parsed = _tracked_persist(P.parse_encode(load_transcripts(spark, sf_dir)))
     return (
         P.encoded_messages(parsed),
         P.build_logtype_dict(parsed),

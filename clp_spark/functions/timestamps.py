@@ -85,8 +85,16 @@ PATTERNS: list[TsPattern] = [
     TsPattern(i, rx, fmt) for i, (rx, fmt) in enumerate(_PATTERN_SPECS)
 ]
 
-_COMPILED = [(p, re.compile(p.regex)) for p in PATTERNS]
-_SEARCH_COMPILED = [(p, re.compile(p.regex)) for p in PATTERNS]
+
+def _anchored(rx: str) -> str:
+    """Digit-boundary anchors: a pattern must not match INSIDE a longer digit
+    run (a 16-digit id must not yield a 13/14-digit "timestamp" prefix —
+    the reference tokenizes first so its patterns see whole tokens)."""
+    return f"(?<!\\d){rx}(?!\\d)"
+
+
+_COMPILED = [(p, re.compile(_anchored(p.regex))) for p in PATTERNS]
+_SEARCH_COMPILED = _COMPILED
 
 
 def _parse_match(p: TsPattern, s: str) -> int:
@@ -150,7 +158,7 @@ def search_timestamp_batch(lines: pd.Series) -> pd.DataFrame:
             break
         sub = s[unmatched]
         # one C pass: first match span per row
-        m = sub.str.extract(f"({p.regex})", expand=False)
+        m = sub.str.extract(f"({_anchored(p.regex)})", expand=False)
         hit = m.notna().to_numpy()
         if not hit.any():
             continue
@@ -162,13 +170,22 @@ def search_timestamp_batch(lines: pd.Series) -> pd.DataFrame:
             count=len(idx),
             dtype=np.int64,
         )
-        vals = np.fromiter(
-            (_parse_match(p, b) for b in matched_strs), count=len(idx), dtype=np.int64
-        )
+        # a regex hit that fails semantic parse (month 31, overflow) falls
+        # through to the NEXT pattern / unmatched instead of crashing the job
+        vals = np.empty(len(idx), dtype=np.int64)
+        ok = np.ones(len(idx), dtype=bool)
+        for k, b in enumerate(matched_strs):
+            try:
+                vals[k] = _parse_match(p, b)
+            except (ValueError, OverflowError, OSError):
+                ok[k] = False
+        idx, pos, vals = idx[ok], pos[ok], vals[ok]
+        if not len(idx):
+            continue
         pattern_id[idx] = p.pattern_id
         ts_ms[idx] = vals
         ts_start[idx] = pos
-        ts_end[idx] = pos + matched_strs.str.len().to_numpy()
+        ts_end[idx] = pos + matched_strs.str.len().to_numpy()[ok]
         unmatched[idx] = False
 
     return pd.DataFrame(

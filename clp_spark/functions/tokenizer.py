@@ -203,18 +203,21 @@ def encode_series(texts: pd.Series) -> pd.DataFrame:
 def encode_series_scalar(texts: pd.Series) -> pd.DataFrame:
     """Reference scalar implementation (one Python call per row); used as
     the test oracle for the vectorized path."""
+    from .hash64 import add_id_columns
     from .tokenizer_vec import _slots_from_types
 
     encoded = texts.map(lambda t: encode_text(t) if t is not None else ("", (), (), ()))
-    return pd.DataFrame(
-        {
-            "logtype": encoded.map(lambda e: e[0]),
-            "var_types": encoded.map(lambda e: list(e[1])),
-            "dict_vars": encoded.map(lambda e: list(e[2])),
-            "encoded_nums": encoded.map(lambda e: list(e[3])),
-            "dict_slots": encoded.map(lambda e: _slots_from_types(e[1])),
-        },
-        index=texts.index,
+    return add_id_columns(
+        pd.DataFrame(
+            {
+                "logtype": encoded.map(lambda e: e[0]),
+                "var_types": encoded.map(lambda e: list(e[1])),
+                "dict_vars": encoded.map(lambda e: list(e[2])),
+                "encoded_nums": encoded.map(lambda e: list(e[3])),
+                "dict_slots": encoded.map(lambda e: _slots_from_types(e[1])),
+            },
+            index=texts.index,
+        )
     )
 
 

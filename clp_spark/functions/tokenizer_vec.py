@@ -109,10 +109,33 @@ def _split_lists(values: np.ndarray, row_of: np.ndarray, n_rows: int) -> list:
     return [vals[a:b] for a, b in zip(offs_l, offs_l[1:])]
 
 
+def _scalar_row_outputs(text: str):
+    """Scalar-path encode of one row -> the full output tuple (with ids)."""
+    from .hash64 import hash64_str, hash64_strings
+
+    lt, vt, dv, en = encode_text(text)
+    di = hash64_strings(dv)
+    ev = []
+    d = 0
+    for t, e in zip(vt, en):
+        if t == VT_DICT:
+            ev.append(di[d])
+            d += 1
+        else:
+            ev.append(e)
+    return (
+        lt, list(vt), list(dv), list(en), _slots_from_types(vt),
+        hash64_str(lt), di, ev,
+    )
+
+
 def encode_batch(texts: pd.Series) -> pd.DataFrame:
     """Encode a Series of messages -> DataFrame(logtype, var_types,
-    dict_vars, encoded_nums, dict_slots), vectorized. dict_slots[i] is the
-    index into dict_vars for variable slot i (-1 for int/float slots)."""
+    dict_vars, encoded_nums, dict_slots, logtype_id, dict_var_ids,
+    encoded_vars), vectorized. dict_slots[i] is the index into dict_vars
+    for variable slot i (-1 for int/float slots); *_id columns are hash64
+    content ids computed in-batch (functions/hash64.py) and encoded_vars is
+    encoded_nums with dict slots filled with their ids."""
     n = len(texts)
     if n == 0:
         return pd.DataFrame(
@@ -122,6 +145,9 @@ def encode_batch(texts: pd.Series) -> pd.DataFrame:
                 "dict_vars": [],
                 "encoded_nums": [],
                 "dict_slots": [],
+                "logtype_id": pd.Series([], dtype="int64"),
+                "dict_var_ids": [],
+                "encoded_vars": [],
             }
         )
 
@@ -148,15 +174,17 @@ def encode_batch(texts: pd.Series) -> pd.DataFrame:
     out_dv = np.empty(n, dtype=object)
     out_en = np.empty(n, dtype=object)
     out_sl = np.empty(n, dtype=object)
+    out_lid = np.zeros(n, dtype=np.int64)
+    out_di = np.empty(n, dtype=object)
+    out_ev = np.empty(n, dtype=object)
 
     if len(bad_pos):
         bad_rows = np.unique(np.searchsorted(row_start, bad_pos, side="right") - 1)
         for i in bad_rows:
-            lt, vt, dv, en = encode_text(arr[i])
-            out_logtype[i], out_vt[i], out_dv[i], out_en[i] = (
-                lt, list(vt), list(dv), list(en),
-            )
-            out_sl[i] = _slots_from_types(vt)
+            (
+                out_logtype[i], out_vt[i], out_dv[i], out_en[i], out_sl[i],
+                out_lid[i], out_di[i], out_ev[i],
+            ) = _scalar_row_outputs(arr[i])
         good = np.ones(n, dtype=bool)
         good[bad_rows] = False
         fast_pos = np.flatnonzero(good)
@@ -171,13 +199,18 @@ def encode_batch(texts: pd.Series) -> pd.DataFrame:
 
     if fast_pos is None or len(fast_pos):
         n_fast = n if fast_pos is None else len(fast_pos)
-        lt_l, vt_l, dv_l, en_l, sl_l = _encode_fast(joined, buf, row_start, n_fast)
+        lt_l, vt_l, dv_l, en_l, sl_l, lid, di_l, ev_l = _encode_fast(
+            joined, buf, row_start, n_fast
+        )
         pos = slice(None) if fast_pos is None else fast_pos
         out_logtype[pos] = lt_l
         out_vt[pos] = vt_l
         out_dv[pos] = dv_l
         out_en[pos] = en_l
         out_sl[pos] = sl_l
+        out_lid[pos] = lid
+        out_di[pos] = di_l
+        out_ev[pos] = ev_l
 
     return pd.DataFrame(
         {
@@ -186,21 +219,38 @@ def encode_batch(texts: pd.Series) -> pd.DataFrame:
             "dict_vars": out_dv,
             "encoded_nums": out_en,
             "dict_slots": out_sl,
+            "logtype_id": out_lid,
+            "dict_var_ids": out_di,
+            "encoded_vars": out_ev,
         },
         index=texts.index,
     )
 
 
-def _encode_fast(joined: bytes, buf: np.ndarray, row_start: np.ndarray, n: int):
+class _Analysis:
+    """Span-level results of the vectorized tokenize+classify+encode pass,
+    shared by the full-output path (logtype strings + dict var strings) and
+    the ids-only Arrow path (hashes, no Python strings)."""
+
+    __slots__ = (
+        "tok_s", "tok_e", "v_idx", "d_idx", "v_types",
+        "int_vals", "float_vals", "int_form", "float_form",
+        "out", "keep", "empty",
+    )
+
+
+def _analyze(joined: bytes, buf: np.ndarray, row_start: np.ndarray, n: int) -> _Analysis:
     """Vector path over rows guaranteed free of NUL/placeholder/escape bytes.
 
     `joined` is the rows' UTF-8 bytes NUL-separated, `buf` its uint8 view,
     `row_start[i]` the buffer offset of row i."""
+    a = _Analysis()
+    a.empty = False
     # --- token spans ------------------------------------------------------
     nb = len(buf)
     if nb == 0:
-        e = [[] for _ in range(4 * n)]
-        return [""] * n, e[:n], e[n : 2 * n], e[2 * n : 3 * n], e[3 * n :]
+        a.empty = True
+        return a
     mask = _IS_TOKEN[buf]
     prev = np.empty(nb, dtype=bool)
     prev[0] = False
@@ -212,13 +262,8 @@ def _encode_fast(joined: bytes, buf: np.ndarray, row_start: np.ndarray, n: int):
     tok_e = np.flatnonzero(mask & ~nxt) + 1
 
     if len(tok_s) == 0:
-        return (
-            [b.decode("utf-8", "surrogatepass") for b in joined.split(b"\x00")],
-            [[] for _ in range(n)],
-            [[] for _ in range(n)],
-            [[] for _ in range(n)],
-            [[] for _ in range(n)],
-        )
+        a.empty = True
+        return a
 
     # --- per-token predicates (prefix-sum gathers) ------------------------
     cdig = _prefix(_IS_DIGIT, buf)
@@ -329,27 +374,7 @@ def _encode_fast(joined: bytes, buf: np.ndarray, row_start: np.ndarray, n: int):
     v_types = np.full(len(v_idx), VT_DICT, dtype=np.int64)
     v_types[int_form[v_idx]] = VT_INT
     v_types[float_form[v_idx]] = VT_FLOAT
-
-    v_nums = np.empty(len(v_idx), dtype=object)
-    v_nums[:] = None
-    im = int_form[v_idx]
-    fm = float_form[v_idx]
-    v_nums[im] = int_vals[v_idx][im].tolist()
-    v_nums[fm] = float_vals[v_idx][fm].tolist()
-
     d_idx = np.flatnonzero(dict_form)
-    dict_strs = np.empty(len(d_idx), dtype=object)
-    for k, j in enumerate(d_idx):
-        dict_strs[k] = joined[tok_s[j] : tok_e[j]].decode("utf-8")
-
-    # per-variable slot index into the row's dict_vars (-1 for int/float
-    # slots) — lets the JVM merge dict ids into encoded_vars with a cheap
-    # transform instead of a stateful aggregate.
-    row_of_dict = np.searchsorted(row_start, tok_s[d_idx], side="right") - 1
-    v_slots = np.full(len(v_idx), -1, dtype=np.int64)
-    if len(d_idx):
-        within_row_rank = _ranges(np.bincount(row_of_dict)[np.unique(row_of_dict)])
-        v_slots[np.searchsorted(v_idx, d_idx)] = within_row_rank
 
     # --- logtype assembly: collapse each var span to its placeholder ------
     out = buf.copy()
@@ -365,7 +390,101 @@ def _encode_fast(joined: bytes, buf: np.ndarray, row_start: np.ndarray, n: int):
         mc = span_len[multi]
         kill = np.repeat(ms, mc) + _ranges(mc)
         keep[kill] = False
-    logtypes = [b.decode("utf-8", "surrogatepass") for b in out[keep].tobytes().split(b"\x00")]
+
+    a.tok_s, a.tok_e = tok_s, tok_e
+    a.v_idx, a.d_idx, a.v_types = v_idx, d_idx, v_types
+    a.int_vals, a.float_vals = int_vals, float_vals
+    a.int_form, a.float_form = int_form, float_form
+    a.out, a.keep = out, keep
+    return a
+
+
+def _logtype_hashes(a: _Analysis, buf: np.ndarray, row_start: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Per-row hash64 of the collapsed (placeholder) logtype bytes — the
+    template string's content id WITHOUT materializing the string."""
+    from .hash64 import hash64_spans
+
+    kc = np.zeros(len(buf) + 1, dtype=np.int64)
+    np.cumsum(a.keep, out=kc[1:])
+    cbuf = a.out[a.keep]
+    return hash64_spans(cbuf, kc[row_start], kc[row_start + lens])
+
+
+def _dict_hashes(a: _Analysis, buf: np.ndarray) -> np.ndarray:
+    """hash64 of each dictionary-variable token's UTF-8 byte span."""
+    from .hash64 import hash64_spans
+
+    return hash64_spans(buf, a.tok_s[a.d_idx], a.tok_e[a.d_idx])
+
+
+def _encoded_var_values(a: _Analysis, dict_ids: np.ndarray) -> np.ndarray:
+    """Final per-variable int64 encodings, in token order: canonical int /
+    custom float encodings where typed, dictionary content hash otherwise
+    (the reference message layout, File.hpp:257-259)."""
+    v_final = np.where(
+        a.int_form[a.v_idx],
+        a.int_vals[a.v_idx],
+        a.float_vals[a.v_idx],
+    )
+    if len(a.d_idx):
+        v_final[np.searchsorted(a.v_idx, a.d_idx)] = dict_ids
+    return v_final
+
+
+def _encode_fast(joined: bytes, buf: np.ndarray, row_start: np.ndarray, n: int):
+    """Full-output vector path: logtype strings + per-row lists + content
+    ids (logtype_id / dict_var_ids / encoded_vars) in one pass."""
+    a = _analyze(joined, buf, row_start, n)
+    nb = len(buf)
+    if a.empty:
+        from .hash64 import hash64_strings
+
+        logtypes = (
+            [""] * n
+            if nb == 0
+            else [b.decode("utf-8", "surrogatepass") for b in joined.split(b"\x00")]
+        )
+        lt_ids = np.fromiter(hash64_strings(logtypes), count=n, dtype=np.int64)
+        empties = lambda: [[] for _ in range(n)]  # noqa: E731
+        return (
+            logtypes, empties(), empties(), empties(), empties(),
+            lt_ids, empties(), empties(),
+        )
+
+    tok_s, tok_e, v_idx, d_idx, v_types = a.tok_s, a.tok_e, a.v_idx, a.d_idx, a.v_types
+
+    v_nums = np.empty(len(v_idx), dtype=object)
+    v_nums[:] = None
+    im = a.int_form[v_idx]
+    fm = a.float_form[v_idx]
+    v_nums[im] = a.int_vals[v_idx][im].tolist()
+    v_nums[fm] = a.float_vals[v_idx][fm].tolist()
+
+    dict_strs = np.empty(len(d_idx), dtype=object)
+    for k, j in enumerate(d_idx):
+        dict_strs[k] = joined[tok_s[j] : tok_e[j]].decode("utf-8")
+
+    # per-variable slot index into the row's dict_vars (-1 for int/float
+    # slots) — lets the JVM merge dict ids into encoded_vars with a cheap
+    # transform instead of a stateful aggregate.
+    row_of_dict = np.searchsorted(row_start, tok_s[d_idx], side="right") - 1
+    v_slots = np.full(len(v_idx), -1, dtype=np.int64)
+    if len(d_idx):
+        within_row_rank = _ranges(np.bincount(row_of_dict)[np.unique(row_of_dict)])
+        v_slots[np.searchsorted(v_idx, d_idx)] = within_row_rank
+
+    logtypes = [
+        b.decode("utf-8", "surrogatepass") for b in a.out[a.keep].tobytes().split(b"\x00")
+    ]
+
+    # content ids (same hash as the ids-only Arrow path and the driver-side
+    # query candidate generation — see functions/hash64.py)
+    lens = np.empty(n, dtype=np.int64)
+    lens[:-1] = row_start[1:] - row_start[:-1] - 1
+    lens[-1] = nb - row_start[-1]
+    lt_ids = _logtype_hashes(a, buf, row_start, lens)
+    dict_ids = _dict_hashes(a, buf)
+    v_final = _encoded_var_values(a, dict_ids)
 
     # --- group per row ----------------------------------------------------
     row_of_var = np.searchsorted(row_start, tok_s[v_idx], side="right") - 1
@@ -373,4 +492,100 @@ def _encode_fast(joined: bytes, buf: np.ndarray, row_start: np.ndarray, n: int):
     en_l = _split_lists(v_nums, row_of_var, n)
     sl_l = _split_lists(v_slots, row_of_var, n)
     dv_l = _split_lists(dict_strs, row_of_dict, n)
-    return logtypes, vt_l, dv_l, en_l, sl_l
+    di_l = _split_lists(dict_ids, row_of_dict, n)
+    ev_l = _split_lists(v_final, row_of_var, n)
+    return logtypes, vt_l, dv_l, en_l, sl_l, lt_ids, di_l, ev_l
+
+
+def encode_ids_arrow(texts):
+    """Ids-only Arrow-native encode: pa.Array of strings ->
+    (logtype_id: pa.Array int64, encoded_vars: pa.ListArray int64).
+
+    The 100-TB hot path (reference parity: the message store holds ONLY
+    ids + encoded values, File.hpp:257-259 — template/variable STRINGS live
+    in the dictionaries). Zero per-row Python:
+      * the UTF-8 bytes come straight from the Arrow string buffers
+        (no Python str objects are ever created);
+      * the NUL-joined working buffer is built with one gather/scatter;
+      * token analysis is the same numpy pass as the full path;
+      * logtype ids hash the placeholder-collapsed spans, dict-var ids hash
+        the raw token spans (functions/hash64.py);
+      * outputs go back as Arrow arrays built from numpy (zero-copy).
+
+    Rows with placeholder/escape bytes force the batch onto the pandas path
+    (rare by construction; correctness identical either way).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(texts)
+    if n == 0:
+        return (
+            pa.array([], type=pa.int64()),
+            pa.ListArray.from_arrays(pa.array([0], type=pa.int32()), pa.array([], type=pa.int64())),
+        )
+    if texts.null_count:
+        texts = pc.fill_null(texts, "")
+    # normalize to large_string for int64 offsets (cheap C cast)
+    if not pa.types.is_large_string(texts.type):
+        texts = texts.cast(pa.large_string())
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+
+    buffers = texts.buffers()
+    raw = buffers[2]
+    obuf = (
+        np.frombuffer(raw, dtype=np.uint8, count=raw.size)
+        if raw is not None
+        else np.zeros(0, dtype=np.uint8)
+    )
+    offs_all = np.frombuffer(buffers[1], dtype=np.int64)
+    offs = offs_all[texts.offset : texts.offset + n + 1]
+    lens = np.diff(offs)
+
+    # NUL-joined working buffer via one scatter (no per-row Python)
+    total = int(lens.sum())
+    nb = total + n - 1 if n > 1 else total
+    row_start = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1] + 1, out=row_start[1:])
+    buf = np.zeros(max(nb, 0), dtype=np.uint8)
+    pos_in_row = _ranges(lens)
+    src = np.repeat(offs[:-1], lens) + pos_in_row
+    dst = np.repeat(row_start, lens) + pos_in_row
+    buf[dst] = obuf[src]
+
+    # placeholder/escape bytes -> whole-batch pandas fallback (rare)
+    bad = np.flatnonzero(_IS_SCALAR_BYTE[buf])
+    sep_pos = row_start[1:] - 1
+    if len(bad) and len(bad[~np.isin(bad, sep_pos)]):
+        pdf = encode_batch(pd.Series(texts.to_pylist()))
+        lid = pa.array(pdf["logtype_id"].to_numpy(), type=pa.int64())
+        ev = pa.array(pdf["encoded_vars"].tolist(), type=pa.list_(pa.int64()))
+        return lid, ev
+
+    a = _analyze(buf.tobytes(), buf, row_start, n)
+    if a.empty:
+        # no variable tokens anywhere: logtype == raw text per row
+        from .hash64 import hash64_spans
+
+        lt_ids = hash64_spans(obuf, offs[:-1], offs[1:])
+        return (
+            pa.array(lt_ids, type=pa.int64()),
+            pa.ListArray.from_arrays(
+                pa.array(np.zeros(n + 1, dtype=np.int32)),
+                pa.array([], type=pa.int64()),
+            ),
+        )
+
+    lt_ids = _logtype_hashes(a, buf, row_start, lens)
+    dict_ids = _dict_hashes(a, buf)
+    v_final = _encoded_var_values(a, dict_ids)
+
+    row_of_var = np.searchsorted(row_start, a.tok_s[a.v_idx], side="right") - 1
+    counts = np.bincount(row_of_var, minlength=n)
+    ev_offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(counts, out=ev_offsets[1:])
+    ev = pa.ListArray.from_arrays(
+        pa.array(ev_offsets), pa.array(v_final.astype(np.int64), type=pa.int64())
+    )
+    return pa.array(lt_ids, type=pa.int64()), ev

@@ -26,6 +26,23 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 
+# Bucket tables persisted for self-joins, released on the next pairs call
+# (or explicitly via release_dedup_caches) so a long-lived session doesn't
+# accumulate cached blocks across queries.
+_PERSISTED: list[DataFrame] = []
+
+
+def release_dedup_caches() -> None:
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    release_dedup_caches()
+    _PERSISTED.append(df.persist())
+    return df
+
+
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate groups: (keeper_id, n_copies) per distinct text.
 
@@ -214,17 +231,19 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, num_hashes, k, text_col, id_col)
-    # persist: the self-join consumes the bucket table twice; without the
-    # cache both sides re-run the signature UDF over every document
-    buckets = sigs.select(
-        "id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), "
-                f"b -> xxhash64(concat_ws(',', slice(sig, b * {rows_per_band} + 1, {rows_per_band}))))"
-            )
-        ).alias("band", "bucket"),
-    ).persist()
+    # persist (tracked): the self-join consumes the bucket table twice;
+    # without the cache both sides re-run the signature UDF over every doc
+    buckets = _persist_tracked(
+        sigs.select(
+            "id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {bands - 1}), "
+                    f"b -> xxhash64(concat_ws(',', slice(sig, b * {rows_per_band} + 1, {rows_per_band}))))"
+                )
+            ).alias("band", "bucket"),
+        )
+    )
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (
@@ -304,28 +323,49 @@ def simhash_sketches(
 def simhash_neardup_pairs(
     df: DataFrame,
     max_hamming: int = 3,
-    bands: int = 4,
+    bands: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    allow_partial_recall: bool = False,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: band-of-bits bucketing + exact Hamming
     verify. By the pigeonhole principle, two sketches within `max_hamming`
-    bits (< bands) share at least one identical 16-bit band, so the bucket
+    bits (< bands) share at least one identical band, so the bucket
     self-join finds every such pair; `bit_count(xor)` (JVM intrinsic)
-    verifies exactly. Returns (id_a, id_b, hamming)."""
-    assert 64 % bands == 0
-    width = 64 // bands
+    verifies exactly. Returns (id_a, id_b, hamming).
+
+    bands=None derives bands = max_hamming + 1 (the minimum that preserves
+    the complete-recall guarantee). Passing bands <= max_hamming breaks the
+    guarantee and raises unless allow_partial_recall=True. Bands need not
+    divide 64: widths are balanced (some ceil(64/b), some floor). Note high
+    radii force narrow bands (few distinct bucket values -> hot self-join);
+    at scale keep max_hamming small (the operator's intended regime)."""
+    if bands is None:
+        bands = max_hamming + 1
+    if bands > 64:
+        raise ValueError(f"bands={bands} > 64 sketch bits (max_hamming <= 63)")
+    if max_hamming >= bands and not allow_partial_recall:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= bands={bands} breaks the pigeonhole "
+            "recall guarantee; pass allow_partial_recall=True to accept it"
+        )
+    base, rem = divmod(64, bands)
+    widths = [base + 1] * rem + [base] * (bands - rem)
+    offs = np.concatenate(([0], np.cumsum(widths[:-1]))).tolist()
     sk = simhash_sketches(df, text_col, id_col)
-    buckets = sk.select(
-        "id",
-        "simhash",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), "
-                f"b -> (cast(simhash as bigint) >> (b * {width})) & {(1 << width) - 1})"
-            )
-        ).alias("band", "bucket"),
-    ).persist()
+    band_exprs = [
+        F.shiftrightunsigned(F.col("simhash"), int(o)).bitwiseAND(
+            F.lit((1 << w) - 1).cast("bigint")
+        )
+        for o, w in zip(offs, widths)
+    ]
+    buckets = _persist_tracked(
+        sk.select(
+            "id",
+            "simhash",
+            F.posexplode(F.array(*band_exprs)).alias("band", "bucket"),
+        )
+    )
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(

@@ -135,30 +135,24 @@ def candidate_logtype_ids(logtype_rows, query: str) -> list[int]:
     return [lid for lid, lt in logtype_rows if patterns_intersect(q, _template_to_pattern(lt))]
 
 
-def query_var_candidates(query: str, var_rows) -> list[list[int]]:
-    """Encoded-variable candidate sets for the query's unambiguous var tokens.
+def query_var_slots(query: str) -> list[tuple[str, int | None]]:
+    """The query's unambiguous variable tokens, in order: (token, encoding).
 
     Re-expression of the reference's per-subquery QueryVar generation
     (clp/GrepCore.hpp:124-150 + EncodedVariableInterpreter.hpp:557-631):
     each wildcard-free token of the query that the tokenizer classifies as a
-    variable contributes one slot; its candidate encodings are the int/float
-    encoding (exact) or the matching var-dict ids (wildcard-free -> exact
-    lookup). Tokens adjacent to wildcards are ambiguous (could merge with
-    surrounding text), so only tokens strictly between non-wildcard,
-    non-token delimiters qualify — a SOUND prune: every true match retains
-    all slots in order; exactness is restored by the confirm filter.
-
-    var_rows: [(var_id, var_str), ...] from the (small) var dictionary.
-    Returns a list of candidate-id lists, in token order.
+    variable contributes one slot; encoding is the int/float encoded value
+    when the token is numeric, else None (-> dictionary lookup). Tokens
+    adjacent to wildcards are ambiguous (could merge with surrounding
+    text), so only tokens strictly between non-wildcard, non-token
+    delimiters qualify — a SOUND prune: every true match retains all slots
+    in order; exactness is restored by the confirm filter.
     """
     from ..functions.encoding import encode_float, encode_int
     from ..functions.tokenizer import tokenize
 
     q = normalize_query(query)
-    slots: list[list[int]] = []
-    by_val = {}
-    for vid, vs in var_rows:
-        by_val.setdefault(vs, []).append(vid)
+    slots: list[tuple[str, int | None]] = []
     # normalize_query guarantees leading/trailing '*', so every segment is
     # wildcard-delimited; a token is unambiguous iff it does not touch the
     # segment's ends (a boundary token could extend through the wildcard
@@ -171,11 +165,20 @@ def query_var_candidates(query: str, var_rows) -> list[list[int]]:
             enc = encode_int(tok)
             if enc is None:
                 enc = encode_float(tok)
-            if enc is not None:
-                slots.append([enc])
-            else:
-                slots.append(by_val.get(tok, []))
+            slots.append((tok, enc))
     return slots
+
+
+def query_var_candidates(query: str, var_rows) -> list[list[int]]:
+    """Slot candidate-id lists from a COLLECTED var dictionary
+    (var_rows: [(var_id, var_str), ...]); see query_var_slots."""
+    by_val: dict[str, list[int]] = {}
+    for vid, vs in var_rows:
+        by_val.setdefault(vs, []).append(vid)
+    return [
+        [enc] if enc is not None else by_val.get(tok, [])
+        for tok, enc in query_var_slots(query)
+    ]
 
 
 def _wildcard_segments(pattern: str) -> list[str]:
@@ -267,6 +270,92 @@ def var_sequence_filter(needles: list[list[int]]):
     ) >= len(needles)
 
 
+# Per-session dictionary cache for bare search() calls (the reference keeps
+# per-archive dictionaries resident across queries too, clp/streaming_archive/
+# reader/Archive.cpp:163-195). Keyed by the ANALYZED-plan text of the dict
+# DataFrame: same source -> same key across repeated query construction.
+# Bounded; cleared with clear_dict_cache() after re-ingesting into the same
+# paths within one session.
+_DICT_CACHE: dict = {}
+_DICT_CACHE_MAX = 8
+_TOO_BIG = object()  # sentinel: var dict exceeds DICT_BROADCAST_LIMIT
+
+
+def clear_dict_cache() -> None:
+    _DICT_CACHE.clear()
+
+
+def _plan_key(df: DataFrame) -> str | None:
+    try:
+        return df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return None  # e.g. Spark Connect: fall back to uncached collect
+
+
+def _cached(df: DataFrame, loader):
+    key = _plan_key(df)
+    if key is None:
+        return loader()
+    if key not in _DICT_CACHE:
+        if len(_DICT_CACHE) >= _DICT_CACHE_MAX:
+            _DICT_CACHE.pop(next(iter(_DICT_CACHE)))
+        _DICT_CACHE[key] = loader()
+    return _DICT_CACHE[key]
+
+
+def _collect_lt_rows(logtype_dict: DataFrame) -> list:
+    return _cached(
+        logtype_dict,
+        lambda: [
+            (r["logtype_id"], r["logtype"])
+            for r in logtype_dict.select("logtype_id", "logtype").collect()
+        ],
+    )
+
+
+def _collect_vd_rows(var_dict: DataFrame):
+    """Collected [(var_id, var_str), ...] or _TOO_BIG above the limit."""
+
+    def load():
+        sample = (
+            var_dict.select("var_id", "var_str").limit(DICT_BROADCAST_LIMIT + 1).collect()
+        )
+        if len(sample) > DICT_BROADCAST_LIMIT:
+            return _TOO_BIG
+        return [(r["var_id"], r["var_str"]) for r in sample]
+
+    return _cached(var_dict, load)
+
+
+def _distributed_var_contains(var_dict: DataFrame, runs: list[str], ignore_case: bool) -> list[bool]:
+    """One column-pruned scan of the var dictionary answering, per query
+    token run, "does ANY dictionary variable contain this run?" — the
+    distributed analog of the reference's dictionary-wide wildcard lookup
+    (clp/DictionaryReader.hpp:275+) for dictionaries too big to collect.
+    The scan is over the DICTIONARY (distinct variables), never the data."""
+    col = F.lower(F.col("var_str")) if ignore_case else F.col("var_str")
+    aggs = [
+        F.max(col.contains(run.lower() if ignore_case else run)).alias(f"r{i}")
+        for i, run in enumerate(runs)
+    ]
+    row = var_dict.agg(*aggs).first()
+    return [bool(row[f"r{i}"]) for i in range(len(runs))]
+
+
+def _distributed_var_ids(var_dict: DataFrame, toks: list[str]) -> dict[str, list[int]]:
+    """Exact-token id lookup against a non-collectible var dictionary: the
+    token set is tiny, so `isin` pushes into the parquet scan and the result
+    (ids of query tokens only) is always driver-sized."""
+    out: dict[str, list[int]] = {t: [] for t in toks}
+    for r in (
+        var_dict.select("var_id", "var_str")
+        .filter(F.col("var_str").isin(list(toks)))
+        .collect()
+    ):
+        out[r["var_str"]].append(r["var_id"])
+    return out
+
+
 def search(
     messages: DataFrame,
     logtype_dict: DataFrame,
@@ -280,7 +369,7 @@ def search(
     lt_rows: list | None = None,
     vd_rows: list | None = None,
 ) -> DataFrame:
-    """Full wildcard search -> (conv_id, turn_idx, text) of matching turns.
+    """Full wildcard search -> (conv_id, turn_idx, ts, text) of matching turns.
 
     Filter staging mirrors the reference's cheap-to-expensive order
     (clp/streaming_archive/reader/File.cpp:269-292): ts range, logtype-set
@@ -289,17 +378,23 @@ def search(
     (clp/GrepCore.hpp process_raw_query use_ignore_case).
 
     lt_rows / vd_rows: pre-collected dictionaries [(id, string), ...] —
-    pass them to amortize dictionary loading across queries (the reference
-    keeps per-archive dictionaries resident too); otherwise collected here.
+    pass them to amortize dictionary loading across queries; otherwise they
+    are collected here once per distinct dictionary plan (session cache).
+    When the var dictionary exceeds DICT_BROADCAST_LIMIT, the WontMatch
+    precheck and var pruning switch to DISTRIBUTED dictionary lookups (one
+    dictionary scan each) instead of disabling themselves, and decode falls
+    back to broadcast joins.
     """
     from .pipeline import decode_messages
 
     spark = messages.sparkSession
     q = normalize_query(query)
 
+    ts_type = messages.schema["ts"].dataType.simpleString() if "ts" in messages.columns else "timestamp"
+
     def empty():
         return spark.createDataFrame(
-            [], "conv_id string, turn_idx int, text string"
+            [], f"conv_id string, turn_idx int, ts {ts_type}, text string"
         )
 
     filtered = messages
@@ -308,33 +403,40 @@ def search(
     if end_ts_ms is not None:
         filtered = filtered.filter(F.unix_millis(F.col("ts").cast("timestamp")) <= end_ts_ms)
 
-    # Driver-side dictionary prune (dictionary is small; collect is bounded
-    # by #distinct templates, not data size).
+    # Driver-side dictionary prune (the logtype dictionary is bounded by
+    # #distinct templates, not data size — always collectible).
     if lt_rows is None:
-        lt_rows = [
-            (r["logtype_id"], r["logtype"])
-            for r in logtype_dict.select("logtype_id", "logtype").collect()
-        ]
+        lt_rows = _collect_lt_rows(logtype_dict)
     if vd_rows is None:
-        sample = (
-            var_dict.select("var_id", "var_str").limit(DICT_BROADCAST_LIMIT + 1).collect()
-        )
-        if len(sample) <= DICT_BROADCAST_LIMIT:
-            vd_rows = [(r["var_id"], r["var_str"]) for r in sample]
+        vd_rows = _collect_vd_rows(var_dict)
+    if vd_rows is _TOO_BIG:
+        vd_rows = None
 
     # Global WontMatch precheck (dictionary-wide wildcard lookup): a query
     # term that appears in no template and no dictionary variable cannot
-    # match anything — skip the scan entirely.
-    if vd_rows is not None:
-        lts = [lt for _, lt in lt_rows]
-        vs = [v for _, v in vd_rows]
-        if ignore_case:
-            if query_wont_match(
-                q.lower(), [s.lower() for s in lts], [s.lower() for s in vs]
-            ):
+    # match anything — skip the scan entirely. Distributed var-dict path
+    # when the dictionary is too big to collect.
+    lts = [lt for _, lt in lt_rows]
+    if ignore_case:
+        lts_cmp, q_cmp = [s.lower() for s in lts], q.lower()
+    else:
+        lts_cmp, q_cmp = lts, q
+    pending_runs = [
+        run
+        for run in _token_runs(q_cmp)
+        if not all(c in _NUMERIC_RUN_CHARS for c in run)
+        and not any(run in lt for lt in lts_cmp)
+    ]
+    if pending_runs:
+        if vd_rows is not None:
+            vs = [v for _, v in vd_rows]
+            if ignore_case:
+                vs = [s.lower() for s in vs]
+            if any(not any(run in v for v in vs) for run in pending_runs):
                 return empty()
-        elif query_wont_match(q, lts, vs):
-            return empty()
+        else:
+            if not all(_distributed_var_contains(var_dict, pending_runs, ignore_case)):
+                return empty()
 
     if ignore_case:
         cand = [
@@ -350,13 +452,19 @@ def search(
         filtered = filtered.filter(F.col("logtype_id").isin(cand))
 
     if prune_vars and not ignore_case:
-        var_rows = vd_rows
-        if var_rows is None:
-            var_rows = [
-                (r["var_id"], r["var_str"])
-                for r in var_dict.select("var_id", "var_str").collect()
-            ]
-        needles = query_var_candidates(query, var_rows)
+        slots = query_var_slots(query)
+        dict_toks = [tok for tok, enc in slots if enc is None]
+        if dict_toks:
+            if vd_rows is not None:
+                by_val: dict[str, list[int]] = {}
+                for vid, vs_ in vd_rows:
+                    by_val.setdefault(vs_, []).append(vid)
+                ids = {t: by_val.get(t, []) for t in dict_toks}
+            else:
+                ids = _distributed_var_ids(var_dict, dict_toks)
+        else:
+            ids = {}
+        needles = [[enc] if enc is not None else ids[tok] for tok, enc in slots]
         if any(len(s) == 0 for s in needles):
             return empty()
         if needles:
@@ -365,7 +473,7 @@ def search(
     # Decode strategy: when the var dictionary is collectible (CLP's own
     # in-memory-dictionaries assumption for decompression), use the
     # shuffle-free broadcast-dictmap decode; otherwise the join-based one.
-    if vd_rows is not None and len(vd_rows) <= DICT_BROADCAST_LIMIT:
+    if vd_rows is not None:
         from .pipeline import decode_messages_dictmap
 
         decoded = decode_messages_dictmap(spark, filtered, lt_rows, vd_rows)
@@ -390,20 +498,18 @@ def search_count_by_time(
 ) -> DataFrame:
     """Count-by-time output handler with reference bucketing semantics
     bucket = (ts_ms / size) * size (clp/clo/OutputHandler.hpp:257-287).
-    Decode keeps ts alongside (conv_id, turn_idx), so matches re-join the
-    message store only for the bucket column."""
-    matches = search(messages, logtype_dict, var_dict, query, **kw).select(
-        "conv_id", "turn_idx"
-    )
-    with_ts = matches.join(messages.select("conv_id", "turn_idx", "ts"), ["conv_id", "turn_idx"])
+    Decode carries ts alongside (conv_id, turn_idx), so the bucket column
+    is computed directly from the matches — no re-join against the message
+    store (which would be a full shuffle join at scale)."""
+    matches = search(messages, logtype_dict, var_dict, query, **kw)
     bucket = F.expr(f"unix_millis(cast(ts as timestamp)) div {bucket_ms}") * F.lit(bucket_ms)
-    return with_ts.groupBy(bucket.alias("bucket_ms")).agg(F.count(F.lit(1)).alias("cnt"))
+    return matches.groupBy(bucket.alias("bucket_ms")).agg(F.count(F.lit(1)).alias("cnt"))
 
 
 def write_search_results(
     matches: DataFrame,
-    messages: DataFrame,
-    path: str,
+    messages: DataFrame = None,
+    path: str = None,
     max_num_results: int = 1000,
 ) -> int:
     """Results-cache sink: keep only the latest `max_num_results` matches by
@@ -411,12 +517,18 @@ def write_search_results(
     clp/clo/OutputHandler.hpp:121-226, fields per clp_s/archive_constants
     .hpp:56-62), written as a small parquet table. Spark's
     TakeOrderedAndProject replaces the per-worker priority queue + the
-    MongoDB upsert. Returns the number of rows written."""
+    MongoDB upsert. Returns the number of rows written.
+
+    `matches` from search() already carries ts; `messages` is only consulted
+    (shuffle re-join) for legacy match sets without a ts column."""
     import shutil as _sh
 
-    with_ts = matches.join(
-        messages.select("conv_id", "turn_idx", "ts"), ["conv_id", "turn_idx"]
-    )
+    if "ts" in matches.columns:
+        with_ts = matches
+    else:
+        with_ts = matches.join(
+            messages.select("conv_id", "turn_idx", "ts"), ["conv_id", "turn_idx"]
+        )
     top = (
         with_ts.orderBy(
             F.desc("ts"), F.desc("conv_id"), F.desc("turn_idx")

@@ -141,17 +141,26 @@ def ingest(
     if transcripts.rdd.getNumPartitions() < target:
         transcripts = transcripts.repartition(target)
 
-    parsed = P.parse_encode(transcripts)
+    # Messages-only runs (the parsed+routed hot path / scaling probe) never
+    # need template or variable STRINGS — use the ids-only Arrow parse (the
+    # reference message layout, File.hpp:257-259). Dictionary steps need the
+    # strings, so full runs use the full parse.
+    needs_strings = only_steps is None or bool(
+        {"logtype_dict", "var_dict"} & only_steps
+    )
+    parsed = P.parse_encode(transcripts) if needs_strings else P.parse_encode_ids(transcripts)
     enriched = None
     if dim_role is not None and dim_tool is not None:
         enriched = P.enrich(parsed, dim_role, dim_tool)
     # Only the columns the dictionary builds still need after the messages
     # write; everything else is either in the sink (count sinks re-read it
     # column-pruned — cheaper than scanning a fat cache) or derivable.
-    dict_src = parsed.select("logtype", "logtype_id", "dict_vars")
-    cache_parsed = cache_parsed and (
-        only_steps is None or bool({"logtype_dict", "var_dict"} & only_steps)
+    dict_src = (
+        parsed.select("logtype", "logtype_id", "dict_vars", "dict_var_ids")
+        if needs_strings
+        else None
     )
+    cache_parsed = cache_parsed and needs_strings
     if cache_parsed:
         dict_src = dict_src.persist()
 
@@ -209,10 +218,7 @@ def ingest(
 
         if want("var_dict"):
             _commit(
-                lambda d: dict_src.select(F.explode("dict_vars").alias("var_str"))
-                .groupBy("var_str")
-                .agg(F.count(F.lit(1)).alias("n_occurrences"))
-                .select(F.xxhash64("var_str").alias("var_id"), "var_str", "n_occurrences")
+                lambda d: P.build_var_dict(dict_src)
                 .write.mode("overwrite")
                 .parquet(d),
                 out_dir,
@@ -447,14 +453,14 @@ def search_archives(
     key = tuple(dirs)
     cached = _DICT_CACHE.get(key)
     if cached is None:
-        from .grep import DICT_BROADCAST_LIMIT
+        from .grep import _TOO_BIG, DICT_BROADCAST_LIMIT
 
         lt_rows = [(r["logtype_id"], r["logtype"]) for r in lt.collect()]
         sample = vd.limit(DICT_BROADCAST_LIMIT + 1).collect()
         vd_rows = (
             [(r["var_id"], r["var_str"]) for r in sample]
             if len(sample) <= DICT_BROADCAST_LIMIT
-            else None
+            else _TOO_BIG  # search() then uses DISTRIBUTED dict lookups
         )
         if len(_DICT_CACHE) >= 8:
             _DICT_CACHE.pop(next(iter(_DICT_CACHE)))

@@ -4,19 +4,22 @@ Spark-first re-expression of CLP's compression path
 (reference walk: clp/clp/FileCompressor.cpp -> clp/streaming_archive/writer/
 Archive.cpp:299-316 write_msg -> EncodedVariableInterpreter.hpp:317-336):
 
-  raw turns --mapInPandas(tokenize+encode)--> parsed
-      parsed --xxhash64--> logtype_id / dict var ids    (JVM-side, codegen)
+  raw turns --pandas_udf(tokenize+encode+hash)--> parsed  (ids born in-UDF)
       parsed --groupBy--> logtype dictionary, var dictionary (content-hash ids)
       parsed --broadcast join--> role/tool enrichment
       parsed --repartition(bucket, salt)--> per-logtype-bucket sinks
       parsed --groupBy--> per-logtype / per-tool / per-conversation counts
 
 Design-for-scale notes:
-  * dictionary IDs are content hashes (xxhash64), not first-seen dense ids —
+  * dictionary IDs are content hashes (functions/hash64.py, computed inside
+    the parse UDF over the flat byte buffers), not first-seen dense ids —
     dense assignment needs a global ordered shuffle; content hashing is
     embarrassingly parallel, deterministic across retries/executors, and
     collision-safe to ~1e9 distinct entries (birthday p < 3%); the dictionary
     tables keep (id, string) so round-trip decode never depends on luck.
+    Hashing in-UDF (not JVM xxhash64) lets the ids-only hot path
+    (parse_encode_ids) skip materializing template/variable strings through
+    Arrow entirely.
   * per-turn work happens once in ONE Arrow-batched UDF; everything after is
     whole-stage-codegen column ops (no Python in the agg/join/route path).
   * the logtype distribution is Zipfian (one hot template >= 40% of rows) —
@@ -53,8 +56,9 @@ PARSED_EXTRA_FIELDS = [
     StructField("logtype", StringType()),
     StructField("var_types", ArrayType(IntegerType())),
     StructField("dict_vars", ArrayType(StringType())),
-    StructField("encoded_nums", ArrayType(LongType())),
-    StructField("dict_slots", ArrayType(IntegerType())),
+    StructField("logtype_id", LongType()),
+    StructField("dict_var_ids", ArrayType(LongType())),
+    StructField("encoded_vars", ArrayType(LongType())),
 ]
 
 _ENCODED_STRUCT = StructType(PARSED_EXTRA_FIELDS)
@@ -65,7 +69,8 @@ def _encode_udf(texts: pd.Series) -> pd.DataFrame:
     # import inside the worker so --py-files deployment works
     from clp_spark.functions.tokenizer import encode_series
 
-    return encode_series(texts)
+    pdf = encode_series(texts)
+    return pdf[["logtype", "var_types", "dict_vars", "logtype_id", "dict_var_ids", "encoded_vars"]]
 
 
 def parse_encode(transcripts: DataFrame, text_col: str = "text") -> DataFrame:
@@ -74,25 +79,50 @@ def parse_encode(transcripts: DataFrame, text_col: str = "text") -> DataFrame:
     A SCALAR pandas UDF over the text column only — the other input columns
     never round-trip through Python (≈2× parse-stage throughput vs
     mapInPandas, measured in bench.py). Adds: logtype, var_types, dict_vars
-    (slot-ordered), encoded_nums (per-variable int64; null for dict slots),
-    dict_slots, then JVM-side content-hash ids: logtype_id, dict_var_ids,
+    (slot-ordered), and the content-hash ids logtype_id / dict_var_ids /
     encoded_vars (dict slots filled with ids — the ragged-array layout of
-    reference File.hpp:257-259, kept per row).
+    reference File.hpp:257-259, kept per row). Ids are hashed INSIDE the
+    UDF over the already-flat byte buffers (functions/hash64.py) — hashing
+    JVM-side would only re-read the very strings whose transfer the ids
+    exist to avoid. For the messages-only path use parse_encode_ids, which
+    skips materializing template/variable strings entirely.
     """
-    parsed = transcripts.withColumn("_enc", _encode_udf(F.col(text_col))).select(
+    return transcripts.withColumn("_enc", _encode_udf(F.col(text_col))).select(
         "*", "_enc.*"
     ).drop("_enc")
-    return (
-        parsed.withColumn("logtype_id", F.xxhash64("logtype"))
-        .withColumn("dict_var_ids", F.expr("transform(dict_vars, v -> xxhash64(v))"))
-        .withColumn(
-            "encoded_vars",
-            F.expr(
-                "transform(arrays_zip(encoded_nums, dict_slots),"
-                " p -> coalesce(p.encoded_nums, dict_var_ids[p.dict_slots]))"
-            ),
-        )
+
+
+def parse_encode_ids(transcripts: DataFrame, text_col: str = "text") -> DataFrame:
+    """Ids-only parse for the parsed+routed hot path: adds ONLY
+    (logtype_id, encoded_vars) via an Arrow-native mapInArrow pass.
+
+    Exactly the reference message layout (File.hpp:257-259): the message
+    store never carries template/variable STRINGS — those belong to the
+    dictionaries. Avoiding their materialization cuts the parse stage's
+    Arrow traffic by ~an order of magnitude, which is what keeps N->4N
+    scaling efficient on bandwidth-bound executors. Passthrough columns are
+    copied at the Arrow level (no Python objects)."""
+    import pyarrow as pa
+
+    out_schema = StructType(
+        [f for f in transcripts.schema.fields]
+        + [
+            StructField("logtype_id", LongType()),
+            StructField("encoded_vars", ArrayType(LongType())),
+        ]
     )
+    names = [f.name for f in out_schema.fields]
+    in_names = [f.name for f in transcripts.schema.fields]
+
+    def run(batches):
+        from clp_spark.functions.tokenizer_vec import encode_ids_arrow
+
+        for b in batches:
+            lid, ev = encode_ids_arrow(b.column(in_names.index(text_col)))
+            arrays = [b.column(i) for i in range(b.num_columns)] + [lid, ev]
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return transcripts.mapInArrow(run, schema=out_schema)
 
 
 @F.pandas_udf(ArrayType(IntegerType()))
@@ -127,10 +157,14 @@ def build_var_dict(parsed: DataFrame) -> DataFrame:
     Analog of reference VariableDictionaryWriter (clp/VariableDictionaryWriter.cpp:11-41).
     """
     return (
-        parsed.select(F.explode("dict_vars").alias("var_str"))
-        .groupBy("var_str")
+        parsed.select(
+            F.explode(F.arrays_zip("dict_var_ids", "dict_vars")).alias("v")
+        )
+        .groupBy(
+            F.col("v.dict_var_ids").alias("var_id"),
+            F.col("v.dict_vars").alias("var_str"),
+        )
         .agg(F.count("*").alias("n_occurrences"))
-        .withColumn("var_id", F.xxhash64("var_str"))
         .select("var_id", "var_str", "n_occurrences")
     )
 
@@ -219,17 +253,22 @@ def decode_messages(
     # keeps rows with no dict vars (pos=null), and the CASE inside
     # collect_list drops those null markers — no union, so the messages
     # input is scanned exactly once (a union would recompute an un-cached
-    # upstream parse twice).
+    # upstream parse twice). The regroup key is a per-row surrogate id, not
+    # (conv_id, turn_idx): callers without the key-uniqueness invariant
+    # (e.g. the same rows ingested into two archives then unioned) must not
+    # silently collapse rows / interleave two rows' pos lists.
     combined = (
-        with_lt.select(
-            "conv_id", "turn_idx", "ts", "logtype_id", "logtype", "encoded_vars",
+        with_lt.withColumn("_row_id", F.monotonically_increasing_id())
+        .select(
+            "_row_id", "conv_id", "turn_idx", "ts", "logtype", "encoded_vars",
             F.posexplode_outer("dict_var_ids").alias("pos", "var_id"),
         )
         .join(vd, "var_id", "left")
-        .groupBy("conv_id", "turn_idx")
+        .groupBy("_row_id")
         .agg(
+            F.first("conv_id").alias("conv_id"),
+            F.first("turn_idx").alias("turn_idx"),
             F.first("ts").alias("ts"),
-            F.first("logtype_id").alias("logtype_id"),
             F.first("logtype").alias("logtype"),
             F.first("encoded_vars").alias("encoded_vars"),
             F.expr(
@@ -240,10 +279,14 @@ def decode_messages(
         )
     )
 
+    # ts rides through the render (it is needed by every downstream
+    # count-by-time / latest-N handler; re-joining the message store to
+    # recover it would be a full shuffle join).
     render_schema = StructType(
         [
             StructField("conv_id", StringType()),
             StructField("turn_idx", IntegerType()),
+            StructField("ts", messages.schema["ts"].dataType),
             StructField("text", StringType()),
         ]
     )
@@ -254,7 +297,12 @@ def decode_messages(
         for pdf in batches:
             texts = render_batch(pdf["logtype"], pdf["dict_vars"], pdf["encoded_vars"])
             yield pd.DataFrame(
-                {"conv_id": pdf["conv_id"], "turn_idx": pdf["turn_idx"], "text": texts}
+                {
+                    "conv_id": pdf["conv_id"],
+                    "turn_idx": pdf["turn_idx"],
+                    "ts": pdf["ts"],
+                    "text": texts,
+                }
             )
 
     return combined.mapInPandas(render, schema=render_schema)
@@ -337,23 +385,16 @@ def parse_encode_with_schema(
     @F.pandas_udf(_ENCODED_STRUCT)
     def schema_udf(texts: pd.Series) -> pd.DataFrame:
         from clp_spark.functions.grok import encode_batch_schema
+        from clp_spark.functions.hash64 import add_id_columns
 
-        return encode_batch_schema(texts, schema)
+        pdf = add_id_columns(encode_batch_schema(texts, schema))
+        return pdf[
+            ["logtype", "var_types", "dict_vars", "logtype_id", "dict_var_ids", "encoded_vars"]
+        ]
 
-    parsed = transcripts.withColumn("_enc", schema_udf(F.col(text_col))).select(
+    return transcripts.withColumn("_enc", schema_udf(F.col(text_col))).select(
         "*", "_enc.*"
     ).drop("_enc")
-    return (
-        parsed.withColumn("logtype_id", F.xxhash64("logtype"))
-        .withColumn("dict_var_ids", F.expr("transform(dict_vars, v -> xxhash64(v))"))
-        .withColumn(
-            "encoded_vars",
-            F.expr(
-                "transform(arrays_zip(encoded_nums, dict_slots),"
-                " p -> coalesce(p.encoded_nums, dict_var_ids[p.dict_slots]))"
-            ),
-        )
-    )
 
 
 def decode_messages_dictmap(
@@ -379,10 +420,12 @@ def decode_messages_dictmap(
     vd_map = {int(i): s for i, s in var_rows}
     bc = spark.sparkContext.broadcast((lt_map, vd_map))
 
+    has_ts = "ts" in messages.columns
     schema = StructType(
         [
             StructField("conv_id", StringType()),
             StructField("turn_idx", IntegerType()),
+            *([StructField("ts", messages.schema["ts"].dataType)] if has_ts else []),
             StructField("text", StringType()),
         ]
     )
@@ -414,10 +457,13 @@ def decode_messages_dictmap(
                         pieces.append(decode_float(v))
                     pieces.append(segs[k + 1])
                 texts.append("".join(pieces))
-            yield pd.DataFrame(
-                {"conv_id": pdf["conv_id"], "turn_idx": pdf["turn_idx"], "text": texts}
-            )
+            out = {"conv_id": pdf["conv_id"], "turn_idx": pdf["turn_idx"]}
+            if has_ts:
+                out["ts"] = pdf["ts"]
+            out["text"] = texts
+            yield pd.DataFrame(out)
 
-    return messages.select("conv_id", "turn_idx", "logtype_id", "encoded_vars").mapInPandas(
-        render, schema=schema
-    )
+    cols = ["conv_id", "turn_idx"] + (["ts"] if has_ts else []) + [
+        "logtype_id", "encoded_vars",
+    ]
+    return messages.select(*cols).mapInPandas(render, schema=schema)

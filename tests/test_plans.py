@@ -164,12 +164,62 @@ def test_results_cache_latest_n(spark, tmp_path):
     n = G.write_search_results(matches, msgs, path, max_num_results=10)
     assert n == 10
     rows = spark.read.parquet(path).collect()
-    # the cached rows are exactly the 10 LATEST matches
+    # the cached rows are exactly the 10 LATEST matches (search() carries ts
+    # through decode, so no re-join against the message store is needed)
     all_ts = sorted(
-        (r["ts_ms"] for r in
-         matches.join(msgs.select("conv_id", "turn_idx", "ts"), ["conv_id", "turn_idx"])
-         .select(P.ts_millis("ts").alias("ts_ms")).collect()),
+        (r["ts_ms"] for r in matches.select(P.ts_millis("ts").alias("ts_ms")).collect()),
         reverse=True,
     )
     assert sorted((r["ts_ms"] for r in rows), reverse=True) == all_ts[:10]
+    parsed.unpersist()
+
+
+def test_search_count_by_time_has_no_rejoin(spark):
+    """Decode carries ts, so the count-by-time handler must not re-join the
+    message store (VERDICT r1 item 3): with the dictmap decode the whole
+    matches->bucket->count pipeline is join-free."""
+    from clp_spark.plans import grep as G
+
+    t = load_transcripts(spark, SF_DIR)
+    parsed = P.parse_encode(t).persist()
+    msgs = P.encoded_messages(parsed)
+    lt, vd = P.build_logtype_dict(parsed), P.build_var_dict(parsed)
+    cbt = G.search_count_by_time(msgs, lt, vd, "commit BEEF", bucket_ms=3_600_000)
+    plan = plan_of(cbt)
+    assert "Join" not in plan
+    assert cbt.count() > 0
+    parsed.unpersist()
+
+
+def test_search_distributed_dict_fallback(spark, monkeypatch):
+    """Above DICT_BROADCAST_LIMIT, WontMatch + var pruning must switch to
+    distributed dictionary lookups — never silently disable — and results
+    must match the collected-dictionary path exactly."""
+    from clp_spark.plans import grep as G
+
+    t = load_transcripts(spark, SF_DIR)
+    parsed = P.parse_encode(t).persist()
+    msgs = P.encoded_messages(parsed)
+    lt, vd = P.build_logtype_dict(parsed), P.build_var_dict(parsed)
+
+    expect = {
+        (r["conv_id"], r["turn_idx"])
+        for r in G.search(msgs, lt, vd, "used 123 of ", prune_vars=True).collect()
+    }
+    assert expect  # the query matches something at this sf
+
+    G.clear_dict_cache()
+    monkeypatch.setattr(G, "DICT_BROADCAST_LIMIT", 2)  # force the too-big path
+    try:
+        got_df = G.search(msgs, lt, vd, "used 123 of ", prune_vars=True)
+        # var-sequence prune must still be present in the plan (not disabled)
+        assert "aggregate(encoded_vars" in plan_of(got_df)
+        got = {(r["conv_id"], r["turn_idx"]) for r in got_df.collect()}
+        assert got == expect
+        # distributed WontMatch: garbage term -> empty without a data scan
+        assert (
+            G.search(msgs, lt, vd, "zzz_no_such_token_anywhere").count() == 0
+        )
+    finally:
+        G.clear_dict_cache()
     parsed.unpersist()
