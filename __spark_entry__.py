@@ -203,6 +203,32 @@ def q_kql_filter(spark, sf_dir):
     return kql_filter(t, KQL_QUERY).select("conv_id", "turn_idx")
 
 
+def q_kql_neq(spark, sf_dir):
+    """NEQ filters (reference FilterOperation::NEQ via NOT-inversion)."""
+    t = load_transcripts(spark, sf_dir)
+    return kql_filter(t, "NOT tool: none AND NOT role: assistant AND turn_idx <= 2").select(
+        "conv_id", "turn_idx"
+    )
+
+
+def q_kql_nested(spark, sf_dir):
+    """Nested query + value list (reference visitNestedQuery /
+    visitList_of_values) over typed JSON columns."""
+    flat = _json_parsed(spark, sf_dir).select("event_id", "rec.*")
+    return kql_filter(flat, "err: {code >= 3 AND msg: timeout} OR level: (WARN)").select(
+        "event_id"
+    )
+
+
+def q_kql_implicit_ts(spark, sf_dir):
+    """AddTimestampConditions analog: CLI-style ts bounds auto-attached to
+    the authoritative timestamp column (clp-s.cpp:123-147)."""
+    t = load_transcripts(spark, sf_dir)
+    return kql_filter(
+        t, "tool: search", begin_ts_ms=TS_RANGE[0], end_ts_ms=TS_RANGE[1]
+    ).select("conv_id", "turn_idx")
+
+
 def _json_parsed(spark, sf_dir):
     from clp_spark.plans.semistructured import ingest_json
     from clp_spark.sources.jsonlogs import load_jsonlogs
@@ -250,6 +276,48 @@ def q_json_kql_wildcard_key(spark, sf_dir):
     """KQL wildcard-key resolution (reference test-kql wildcard keys)."""
     flat = _json_parsed(spark, sf_dir).select("event_id", "rec.*")
     return kql_filter(flat, "err.*: timeout").select("event_id")
+
+
+def _json_string_encoded(spark, sf_dir):
+    """Encoded JSON string store + dictionaries (clp_s ClpString layer)."""
+    from clp_spark.plans.semistructured import (
+        encode_json_strings,
+        infer_json_schema,
+        json_string_dicts,
+        json_string_store,
+        parse_json,
+    )
+    from clp_spark.sources.jsonlogs import load_jsonlogs
+
+    df = load_jsonlogs(spark, sf_dir)
+    schema = infer_json_schema(spark, df, "json")
+    store = json_string_store(parse_json(df, "json", schema), schema)
+    encoded = _tracked_persist(encode_json_strings(store))
+    lt, vd = json_string_dicts(encoded)
+    return store, encoded, lt, vd
+
+
+def q_json_clpstring_roundtrip(spark, sf_dir):
+    """Structural equality: decode(encode(string leaf)) == original for
+    EVERY string leaf (ClpString and VarString alike)."""
+    from clp_spark.plans.semistructured import decode_json_strings
+
+    store, encoded, lt, vd = _json_string_encoded(spark, sf_dir)
+    lt_rows = [(r["logtype_id"], r["logtype"]) for r in lt.collect()]
+    vd_rows = [(r["var_id"], r["var_str"]) for r in vd.collect()]
+    dec = decode_json_strings(spark, encoded, lt_rows, vd_rows)
+    joined = dec.join(store, ["event_id", "path"]).filter("text != value")
+    return joined.agg(F.count("*").alias("mismatches"))
+
+
+def q_json_search_clpstring(spark, sf_dir):
+    """Wildcard search inside encoded JSON string values."""
+    from clp_spark.plans.semistructured import search_json_strings
+
+    _, encoded, lt, vd = _json_string_encoded(spark, sf_dir)
+    return search_json_strings(encoded, lt, vd, "retry 2 of").select(
+        "event_id", "path"
+    )
 
 
 def q_json_latency_by_level(spark, sf_dir):
@@ -442,6 +510,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_count": q_search_count,
         "search_count_by_time": q_search_count_by_time,
         "kql_filter": q_kql_filter,
+        "kql_neq": q_kql_neq,
+        "kql_nested": q_kql_nested,
+        "kql_implicit_ts": q_kql_implicit_ts,
         "grok_logtype_counts": q_grok_logtype_counts,
         "glt_logtype_table": q_glt_logtype_table,
         "stitch_messages": q_stitch_messages,
@@ -450,6 +521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_kql_error": q_json_kql_error,
         "json_kql_tags": q_json_kql_tags,
         "json_kql_wildcard_key": q_json_kql_wildcard_key,
+        "json_clpstring_roundtrip": q_json_clpstring_roundtrip,
+        "json_search_clpstring": q_json_search_clpstring,
         "json_latency_by_level": q_json_latency_by_level,
         "q1_lineitem": q_q1_lineitem,
         "top_orders": q_top_orders,
@@ -651,6 +724,25 @@ def oracle_sql() -> dict[str, str]:
             + "SELECT conv_id, turn_idx FROM transcripts "
               "WHERE tool = 'search' AND turn_idx > 4 AND NOT role = 'user'"
         ),
+        "kql_neq": (
+            _CTE
+            + "SELECT conv_id, turn_idx FROM transcripts "
+              "WHERE tool != 'none' AND role != 'assistant' AND turn_idx <= 2"
+        ),
+        "kql_nested": (
+            _JSON_CTE
+            + "SELECT event_id FROM jsonlogs "
+              "WHERE (cast(json_extract(json, '$.err.code') as int) >= 3 "
+              "AND json_extract_string(json, '$.err.msg') = 'timeout') "
+              "OR json_extract_string(json, '$.level') = 'WARN'"
+        ),
+        "kql_implicit_ts": (
+            _CTE
+            + "SELECT conv_id, turn_idx FROM transcripts "
+              "WHERE tool = 'search' AND epoch_ms(ts) >= {b} AND epoch_ms(ts) <= {e}".format(
+                b=TS_RANGE[0], e=TS_RANGE[1]
+            )
+        ),
         "grok_logtype_counts": (
             _CTE
             + """
@@ -703,7 +795,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CASE cast(event_id % 5 as int) "
             "WHEN 0 THEN 'component,latency_ms,level' "
             "WHEN 1 THEN 'component,latency_ms,level' "
-            "WHEN 2 THEN 'err.code,err.msg,host,level' "
+            "WHEN 2 THEN 'err.code,err.msg,host,level,note' "
             "WHEN 3 THEN 'latency_ms,level,tags' "
             "ELSE 'metric,value' END AS schema_keys, count(*) AS cnt "
             "FROM events GROUP BY 1"
@@ -712,10 +804,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CASE cast(event_id % 5 as int) "
             "WHEN 0 THEN 'component,latency_ms,level' "
             "WHEN 1 THEN 'component,latency_ms,level' "
-            "WHEN 2 THEN 'err.code,err.msg,host,level' "
+            "WHEN 2 THEN 'err.code,err.msg,host,level,note' "
             "WHEN 3 THEN 'latency_ms,level,tags[0],tags[1]' "
             "ELSE 'metric,value' END AS schema_keys, count(*) AS cnt "
             "FROM events GROUP BY 1"
+        ),
+        # ClpString round trip: every JSON string leaf (space -> ClpString,
+        # else VarString) encodes into logtype+vars with dictionaries and
+        # decodes back byte-exactly (reference ColumnWriter.cpp:95-105).
+        "json_clpstring_roundtrip": "SELECT cast(0 as bigint) AS mismatches",
+        # wildcard search INSIDE encoded JSON strings (ClpString search,
+        # reference test-clp_s-search.cpp:205-330). Only `note` values can
+        # contain the phrase at this corpus.
+        "json_search_clpstring": (
+            _JSON_CTE
+            + "SELECT event_id, 'note' AS path FROM jsonlogs "
+              "WHERE json_extract_string(json, '$.note') LIKE '%retry 2 of%'"
         ),
         "json_kql_error": (
             _JSON_CTE

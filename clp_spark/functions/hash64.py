@@ -174,3 +174,22 @@ def add_id_columns(pdf):
     out["dict_var_ids"] = di_col
     out["encoded_vars"] = ev_col
     return out
+
+
+def hash64_series(s) -> np.ndarray:
+    """Vectorized hash of a pandas Series of strings -> int64 numpy array
+    (one flat-buffer hash64_spans call; used by pandas UDFs that need ids
+    for whole string values, e.g. clp_s VarString columns)."""
+    import pandas as pd
+
+    arr = s.to_numpy(dtype=object, copy=False)
+    if s.isna().any():
+        arr = np.where(pd.isna(arr), "", arr)
+    blist = [t.encode("utf-8", "surrogatepass") for t in arr]
+    n = len(blist)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    buf = np.frombuffer(b"".join(blist), dtype=np.uint8)
+    ends = np.cumsum(np.fromiter((len(b) for b in blist), count=n, dtype=np.int64))
+    starts = np.concatenate(([0], ends[:-1]))
+    return hash64_spans(buf, starts, ends)

@@ -368,8 +368,9 @@ def search(
     prune_vars: bool = False,
     lt_rows: list | None = None,
     vd_rows: list | None = None,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
 ) -> DataFrame:
-    """Full wildcard search -> (conv_id, turn_idx, ts, text) of matching turns.
+    """Full wildcard search -> (*key_cols, ts?, text) of matching rows.
 
     Filter staging mirrors the reference's cheap-to-expensive order
     (clp/streaming_archive/reader/File.cpp:269-292): ts range, logtype-set
@@ -390,11 +391,18 @@ def search(
     spark = messages.sparkSession
     q = normalize_query(query)
 
-    ts_type = messages.schema["ts"].dataType.simpleString() if "ts" in messages.columns else "timestamp"
+    has_ts = "ts" in messages.columns and "ts" not in key_cols
+    out_cols = list(key_cols) + (["ts"] if has_ts else [])
 
     def empty():
+        from pyspark.sql.types import StringType, StructField, StructType
+
         return spark.createDataFrame(
-            [], f"conv_id string, turn_idx int, ts {ts_type}, text string"
+            [],
+            StructType(
+                [messages.schema[c] for c in out_cols]
+                + [StructField("text", StringType())]
+            ),
         )
 
     filtered = messages
@@ -476,9 +484,11 @@ def search(
     if vd_rows is not None:
         from .pipeline import decode_messages_dictmap
 
-        decoded = decode_messages_dictmap(spark, filtered, lt_rows, vd_rows)
+        decoded = decode_messages_dictmap(
+            spark, filtered, lt_rows, vd_rows, key_cols=key_cols
+        )
     else:
-        decoded = decode_messages(filtered, logtype_dict, var_dict)
+        decoded = decode_messages(filtered, logtype_dict, var_dict, key_cols=key_cols)
     rx = wildcard_to_regex(q)
     if ignore_case:
         rx = "(?i)" + rx

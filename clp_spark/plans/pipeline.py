@@ -218,6 +218,7 @@ def decode_messages(
     var_dict: DataFrame,
     *,
     broadcast_dicts: bool = True,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
 ) -> DataFrame:
     """Decode join: messages ⋈ logtype_dict ⋈ var_dict -> original text.
 
@@ -257,18 +258,18 @@ def decode_messages(
     # (conv_id, turn_idx): callers without the key-uniqueness invariant
     # (e.g. the same rows ingested into two archives then unioned) must not
     # silently collapse rows / interleave two rows' pos lists.
+    has_ts = "ts" in messages.columns and "ts" not in key_cols
+    passthrough = list(key_cols) + (["ts"] if has_ts else [])
     combined = (
         with_lt.withColumn("_row_id", F.monotonically_increasing_id())
         .select(
-            "_row_id", "conv_id", "turn_idx", "ts", "logtype", "encoded_vars",
+            "_row_id", *passthrough, "logtype", "encoded_vars",
             F.posexplode_outer("dict_var_ids").alias("pos", "var_id"),
         )
         .join(vd, "var_id", "left")
         .groupBy("_row_id")
         .agg(
-            F.first("conv_id").alias("conv_id"),
-            F.first("turn_idx").alias("turn_idx"),
-            F.first("ts").alias("ts"),
+            *[F.first(c).alias(c) for c in passthrough],
             F.first("logtype").alias("logtype"),
             F.first("encoded_vars").alias("encoded_vars"),
             F.expr(
@@ -283,12 +284,7 @@ def decode_messages(
     # count-by-time / latest-N handler; re-joining the message store to
     # recover it would be a full shuffle join).
     render_schema = StructType(
-        [
-            StructField("conv_id", StringType()),
-            StructField("turn_idx", IntegerType()),
-            StructField("ts", messages.schema["ts"].dataType),
-            StructField("text", StringType()),
-        ]
+        [messages.schema[c] for c in passthrough] + [StructField("text", StringType())]
     )
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -296,14 +292,9 @@ def decode_messages(
 
         for pdf in batches:
             texts = render_batch(pdf["logtype"], pdf["dict_vars"], pdf["encoded_vars"])
-            yield pd.DataFrame(
-                {
-                    "conv_id": pdf["conv_id"],
-                    "turn_idx": pdf["turn_idx"],
-                    "ts": pdf["ts"],
-                    "text": texts,
-                }
-            )
+            out = {c: pdf[c] for c in passthrough}
+            out["text"] = texts
+            yield pd.DataFrame(out)
 
     return combined.mapInPandas(render, schema=render_schema)
 
@@ -402,6 +393,7 @@ def decode_messages_dictmap(
     messages: DataFrame,
     logtype_rows,
     var_rows,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
 ) -> DataFrame:
     """Shuffle-free decode: dictionaries travel to executors as a Spark
     broadcast of plain Python dicts and the render happens in ONE pandas UDF
@@ -420,14 +412,10 @@ def decode_messages_dictmap(
     vd_map = {int(i): s for i, s in var_rows}
     bc = spark.sparkContext.broadcast((lt_map, vd_map))
 
-    has_ts = "ts" in messages.columns
+    has_ts = "ts" in messages.columns and "ts" not in key_cols
+    passthrough = list(key_cols) + (["ts"] if has_ts else [])
     schema = StructType(
-        [
-            StructField("conv_id", StringType()),
-            StructField("turn_idx", IntegerType()),
-            *([StructField("ts", messages.schema["ts"].dataType)] if has_ts else []),
-            StructField("text", StringType()),
-        ]
+        [messages.schema[c] for c in passthrough] + [StructField("text", StringType())]
     )
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -457,13 +445,9 @@ def decode_messages_dictmap(
                         pieces.append(decode_float(v))
                     pieces.append(segs[k + 1])
                 texts.append("".join(pieces))
-            out = {"conv_id": pdf["conv_id"], "turn_idx": pdf["turn_idx"]}
-            if has_ts:
-                out["ts"] = pdf["ts"]
+            out = {c: pdf[c] for c in passthrough}
             out["text"] = texts
             yield pd.DataFrame(out)
 
-    cols = ["conv_id", "turn_idx"] + (["ts"] if has_ts else []) + [
-        "logtype_id", "encoded_vars",
-    ]
+    cols = passthrough + ["logtype_id", "encoded_vars"]
     return messages.select(*cols).mapInPandas(render, schema=schema)

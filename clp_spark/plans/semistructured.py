@@ -29,14 +29,47 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def infer_json_schema(spark: SparkSession, df: DataFrame, json_col: str) -> T.StructType:
-    """Grow the schema tree over the corpus (clp_s MST analog).
+def merge_schemas(a: T.StructType, b: T.StructType) -> T.StructType:
+    """Union-merge two schema trees (the schema-registry pattern: new
+    batches widen the known tree, like clp_s's MST absorbing new nodes).
+    On a type conflict the wider/string type wins."""
+    fields: dict[str, T.StructField] = {f.name: f for f in a.fields}
+    for f in b.fields:
+        prev = fields.get(f.name)
+        if prev is None:
+            fields[f.name] = f
+        elif isinstance(prev.dataType, T.StructType) and isinstance(f.dataType, T.StructType):
+            fields[f.name] = T.StructField(
+                f.name, merge_schemas(prev.dataType, f.dataType), True
+            )
+        elif prev.dataType != f.dataType:
+            fields[f.name] = T.StructField(f.name, T.StringType(), True)
+    return T.StructType([fields[k] for k in sorted(fields)])
 
-    Uses Spark's JSON schema inference with merging across all records.
-    Scale note: at 10^12 rows infer over a sample (`df.sample(...)`) or
-    maintain a registry table; inference itself is a distributed pass.
+
+def infer_json_schema(
+    spark: SparkSession,
+    df: DataFrame,
+    json_col: str,
+    sample_rows: int = 2048,
+    prior: T.StructType | None = None,
+) -> T.StructType:
+    """Grow the schema tree (clp_s MST analog) — RDD-free and sample-based.
+
+    A LIMIT collects up to `sample_rows` raw JSON strings to the driver
+    (at scale this touches only the first file splits, never the corpus),
+    Spark's JSON inference runs over that driver-local sample, and the
+    result is union-merged with `prior` (maintain the prior in a registry
+    table across batches: rare keys missing from one sample stay known).
+    The earlier implementation round-tripped the ENTIRE corpus through a
+    Python RDD purely to infer a schema — a full extra pass at Python
+    speed at 100 TB.
     """
-    return spark.read.json(df.select(json_col).rdd.map(lambda r: r[0] or "")).schema
+    sample = [r[0] or "{}" for r in df.select(json_col).limit(sample_rows).collect()]
+    inferred = spark.read.json(
+        spark.sparkContext.parallelize(sample or ["{}"], 1)
+    ).schema
+    return merge_schemas(prior, inferred) if prior is not None else inferred
 
 
 def leaf_paths(schema: T.StructType, prefix: str = "") -> list[str]:
@@ -144,3 +177,172 @@ def _leaf_type(schema: T.StructType, dotted: str) -> T.DataType:
         assert isinstance(cur, T.StructType), dotted
         cur = cur[part].dataType
     return cur
+
+
+# --------------------------------------------------------------------------
+# clp_s string-column encoding (ClpString / VarString)
+#
+# Reference typing rule (clp_s/JsonParser.cpp:557-583): a JSON string value
+# under a timestamp key becomes a date; a string CONTAINING A SPACE becomes
+# a ClpString — recursively CLP-encoded into logtype + variables with
+# dictionaries (clp_s/ColumnWriter.cpp:95-105, ClpStringColumnWriter) — and
+# any other string a VarString stored through the variable dictionary
+# (VariableStringColumnWriter). This is THE clp-json compression story:
+# free-text fields inside JSON records compress like log messages, and
+# wildcard search reaches inside them through the same dictionary pruning.
+#
+# Spark re-expression: one narrow (row, path, value) store for all string
+# leaves; ClpString rows run the SAME parse UDF as the log pipeline;
+# VarString rows are represented uniformly as a one-placeholder template
+# "\x12" whose single dictionary variable is the whole value. Both kinds
+# then share ONE logtype dictionary + ONE variable dictionary, and decode /
+# search reuse the message-store machinery verbatim (key_cols generalizes
+# the (conv_id, turn_idx) keys to (row id, path)).
+# --------------------------------------------------------------------------
+
+from ..functions.hash64 import hash64_str as _hash64_str
+
+TIMESTAMP_KEYS = frozenset({"ts", "timestamp", "@timestamp", "datetime", "date"})
+
+# the VarString pseudo-template: one dictionary placeholder, nothing else
+VARSTRING_LOGTYPE = "\x12"
+VARSTRING_LOGTYPE_ID = _hash64_str(VARSTRING_LOGTYPE)
+
+
+@F.pandas_udf(T.LongType())
+def _hash64_udf(s):
+    import pandas as pd
+
+    from clp_spark.functions.hash64 import hash64_series
+
+    return pd.Series(hash64_series(s), index=s.index)
+
+
+def string_leaf_paths(schema: T.StructType) -> list[str]:
+    """String-typed leaf paths subject to the clp_s string typing rule
+    (timestamp-named keys are excluded — they type as dates)."""
+    out = []
+    for p in leaf_paths(schema):
+        if p.rsplit(".", 1)[-1].lower() in TIMESTAMP_KEYS:
+            continue
+        if isinstance(_leaf_type(schema, p), T.StringType):
+            out.append(p)
+    return out
+
+
+def json_string_store(
+    parsed: DataFrame,
+    schema: T.StructType,
+    id_col: str = "event_id",
+    parsed_col: str = "rec",
+) -> DataFrame:
+    """Narrow store of every non-null string leaf: (id, path, value).
+
+    One codegen'd explode — rows fan out by #string-leaves-present, carrying
+    only the string payloads (never the full record)."""
+    paths = string_leaf_paths(schema)
+    if not paths:
+        return parsed.sparkSession.createDataFrame(
+            [], f"{id_col} long, path string, value string"
+        )
+    pairs = F.array(
+        *[
+            F.struct(F.lit(p).alias("path"), F.col(f"{parsed_col}.{p}").alias("value"))
+            for p in paths
+        ]
+    )
+    return (
+        parsed.select(F.col(id_col), F.explode(pairs).alias("kv"))
+        .select(id_col, F.col("kv.path").alias("path"), F.col("kv.value").alias("value"))
+        .filter(F.col("value").isNotNull())
+    )
+
+
+def encode_json_strings(store: DataFrame, id_col: str = "event_id") -> DataFrame:
+    """Apply the clp_s string typing rule and encode.
+
+    ClpString rows (value contains a space) run the full CLP parse UDF;
+    VarString rows become the "\\x12" pseudo-template with the whole value
+    as a single dictionary variable (id = content hash — the same var-dict
+    id space as ClpString variables, so one dictionary serves both).
+    Output columns: (id, path, kind, logtype, logtype_id, var_types,
+    dict_vars, dict_var_ids, encoded_vars).
+    """
+    from . import pipeline as P
+
+    is_clp = F.col("value").contains(" ")
+    clp = (
+        P.parse_encode(store.filter(is_clp), text_col="value")
+        .withColumn("kind", F.lit("clp"))
+    )
+    var = (
+        store.filter(~is_clp)
+        .withColumn("vid", _hash64_udf("value"))
+        .select(
+            id_col,
+            "path",
+            F.lit("var").alias("kind"),
+            F.lit(VARSTRING_LOGTYPE).alias("logtype"),
+            F.lit(VARSTRING_LOGTYPE_ID).alias("logtype_id"),
+            F.array(F.lit(18)).alias("var_types"),
+            F.array("value").alias("dict_vars"),
+            F.array("vid").alias("dict_var_ids"),
+            F.array("vid").alias("encoded_vars"),
+        )
+    )
+    cols = [
+        id_col, "path", "kind", "logtype", "logtype_id",
+        "var_types", "dict_vars", "dict_var_ids", "encoded_vars",
+    ]
+    return clp.select(*cols).unionByName(var.select(*cols))
+
+
+def json_string_dicts(encoded: DataFrame):
+    """(logtype_dict, var_dict) for an encoded string store — the JSON
+    archive's own dictionaries (reference: per-archive var.dict/log.dict
+    shared by all ClpString/VarString columns)."""
+    from . import pipeline as P
+
+    return P.build_logtype_dict(encoded), P.build_var_dict(encoded)
+
+
+def decode_json_strings(
+    spark: SparkSession,
+    encoded: DataFrame,
+    lt_rows,
+    vd_rows,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Round-trip decode: (id, path, text) — byte-exact against the store."""
+    from . import pipeline as P
+
+    return P.decode_messages_dictmap(
+        spark,
+        encoded.select(id_col, "path", "logtype_id", "encoded_vars"),
+        lt_rows,
+        vd_rows,
+        key_cols=(id_col, "path"),
+    )
+
+
+def search_json_strings(
+    encoded: DataFrame,
+    logtype_dict: DataFrame,
+    var_dict: DataFrame,
+    query: str,
+    id_col: str = "event_id",
+    **kw,
+) -> DataFrame:
+    """Wildcard search INSIDE JSON string values (the clp_s ClpString search
+    path, reference test-clp_s-search.cpp:205-330): same dictionary pruning
+    + confirm staging as message search, keyed by (id, path)."""
+    from .grep import search
+
+    return search(
+        encoded.select(id_col, "path", "logtype_id", "encoded_vars"),
+        logtype_dict,
+        var_dict,
+        query,
+        key_cols=(id_col, "path"),
+        **kw,
+    )

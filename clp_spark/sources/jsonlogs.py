@@ -26,7 +26,9 @@ SELECT
     WHEN 2 THEN '{"level": "ERROR", "err": {"code": '
                 || cast(cast(event_id % 7 as int) as string)
                 || ', "msg": "timeout"}, "host": "h'
-                || cast(cast(user_id % 20 as int) as string) || '"}'
+                || cast(cast(user_id % 20 as int) as string)
+                || '", "note": "retry ' || cast(cast(event_id % 4 as int) as string)
+                || ' of 5 from host h' || cast(cast(user_id % 20 as int) as string) || '"}'
     WHEN 3 THEN '{"level": "WARN", "tags": ["slow", "io"], "latency_ms": '
                 || cast(cast(floor(value) as bigint) as string) || '}'
     ELSE '{"metric": "mem_mb", "value": '

@@ -93,3 +93,105 @@ def test_timestamp_comparisons(spark):
         (F.col("ts") >= "2024-01-02 00:00:00") & (F.col("ts") < "2024-01-05 00:00:00")
     )
     assert got.count() == direct.count() > 0
+
+
+def test_neq_from_not(spark, df):
+    """NOT over a filter folds to NEQ (reference Expression::invert,
+    FilterOperation.hpp NEQ; test-kql.cpp:94)."""
+    ast = parse_kql("NOT level: INFO")
+    assert ast[0] == "filter" and ast[2] == "!="
+    assert ids(df, "NOT level: INFO") == [1, 3, 4]
+    # NEQ requires existence: a null err.msg row (3) does not match
+    assert ids(df, "NOT err.msg: timeout") == [2, 4]
+    # De Morgan over AND/OR like invert()
+    ast2 = parse_kql("NOT (level: INFO OR latency > 4)")
+    assert ast2[0] == "and" and ast2[1][2] == "!=" and ast2[2][2] == "<="
+
+
+def test_escaped_keys(spark):
+    """Literal dots / specials in keys via backslash escapes
+    (test-kql.cpp:216-260)."""
+    from clp_spark.plans.kql import parse_kql as p
+
+    ast = p(r"a\.b.c: 1")
+    assert ast[1].tokens == ("a.b", "c")
+    ast = p(r"a\:b: 1")
+    assert ast[1].tokens == ("a:b",)
+    # resolution against a real field containing a dot
+    rows = [(1, "x"), (2, "y")]
+    d = spark.createDataFrame(rows, ["id", "a.b"])
+    got = sorted(r["id"] for r in kql_filter(d, r"a\.b: x").collect())
+    assert got == [1]
+
+
+def test_namespaces(spark):
+    """Leading @ $ ! # is the column namespace (test-kql.cpp:282-330)."""
+    from clp_spark.plans.kql import parse_kql as p
+
+    for ns in "@$!#":
+        ast = p(f"{ns}column : *")
+        assert ast[1].namespace == ns and ast[1].tokens == ("column",)
+    # escaped namespace char is part of the key, not a namespace
+    ast = p(r"\@column : *")
+    assert ast[1].namespace == "" and ast[1].tokens == ("@column",)
+    d = spark.createDataFrame([(1, "v")], ["id", "@column"])
+    assert [r["id"] for r in kql_filter(d, "@column: v").collect()] == [1]
+
+
+def test_nested_query(spark, df):
+    """col: {sub} prefixes sub-filters (visitNestedQuery)."""
+    assert ids(df, "err: {code >= 3 OR msg: ok}") == [1, 2, 4]
+    assert ids(df, "err: {code >= 3 AND msg: timeout}") == [1]
+
+
+def test_list_of_values(spark, df):
+    assert ids(df, "level: (ERROR WARN)") == [1, 3, 4]  # default OR
+    assert ids(df, "level: (OR ERROR WARN)") == [1, 3, 4]
+    assert ids(df, "tags: (AND slow io)") == [1]
+    assert ids(df, "level: (NOT INFO WARN)") == [1, 4]
+
+
+def test_bare_value_searches_all_columns(spark, df):
+    assert ids(df, "timeout") == [1]
+    assert ids(df, '"conn reset"') == [4]
+
+
+def test_date_literal(spark):
+    from clp_spark.sources.transcripts import load_transcripts
+
+    t = load_transcripts(spark, "/root/testdata/sf0.001")
+    import pyspark.sql.functions as F
+
+    direct = t.filter(F.col("ts") >= "2024-01-03 00:00:00").count()
+    got = kql_filter(t, 'ts >= date("2024-01-03 00:00:00")').count()
+    assert got == direct > 0
+
+
+def test_narrow_types_branch_dropping(spark, df):
+    """NarrowTypes semantics: impossible type combinations evaluate to
+    constant False instead of Catalyst cast-coercion (NarrowTypes.cpp)."""
+    # range op on a string column -> False
+    assert ids(df, "level > 3") == []
+    # range op with a non-numeric literal -> False
+    assert ids(df, "latency > abc") == []
+    # quoted (string-typed) literal against a numeric column -> False
+    assert ids(df, 'latency: "5"') == []
+    # unquoted numeric literal against numeric column still matches
+    assert ids(df, "latency: 5") == [1]
+
+
+def test_implicit_timestamp_conditions(spark):
+    """AddTimestampConditions analog (clp-s.cpp:123-147)."""
+    from clp_spark.sources.transcripts import load_transcripts
+
+    t = load_transcripts(spark, "/root/testdata/sf0.001")
+    n_all = kql_filter(t, "tool: search").count()
+    n_win = kql_filter(
+        t, "tool: search",
+        begin_ts_ms=1704067200000, end_ts_ms=1704672000000,
+    ).count()
+    assert 0 < n_win < n_all
+    # no timestamp column + bounds -> error (reference EmptyExpr fast-fail)
+    d = spark.createDataFrame([(1, "x")], ["id", "v"])
+    with pytest.raises(KqlError):
+        kql_filter(d, "v: x", begin_ts_ms=0)

@@ -66,5 +66,101 @@ def test_inference_merges_all_shapes(spark):
     schema = infer_json_schema(spark, df, "json")
     assert set(leaf_paths(schema)) == {
         "component", "err.code", "err.msg", "host", "latency_ms",
-        "level", "metric", "tags", "value",
+        "level", "metric", "note", "tags", "value",
     }
+
+
+def test_clpstring_typing_and_roundtrip(spark):
+    """clp_s string typing rule (JsonParser.cpp:557-583): space -> ClpString
+    (full CLP encode), else VarString (single dictionary variable); both
+    decode back byte-exactly through the shared dictionaries."""
+    from clp_spark.plans.semistructured import (
+        VARSTRING_LOGTYPE_ID,
+        decode_json_strings,
+        encode_json_strings,
+        infer_json_schema,
+        json_string_dicts,
+        json_string_store,
+        parse_json,
+    )
+    from clp_spark.sources.jsonlogs import load_jsonlogs
+
+    df = load_jsonlogs(spark, "/root/testdata/sf0.001")
+    schema = infer_json_schema(spark, df, "json")
+    store = json_string_store(parse_json(df, "json", schema), schema)
+    encoded = encode_json_strings(store).persist()
+
+    kinds = {r["kind"] for r in encoded.select("kind").distinct().collect()}
+    assert kinds == {"clp", "var"}  # corpus exercises both typings
+    # ClpString rows: the `note` values (contain spaces) with real templates
+    clp_rows = encoded.filter("kind = 'clp'")
+    assert clp_rows.filter(f"logtype_id = {VARSTRING_LOGTYPE_ID}").count() == 0
+    assert clp_rows.filter("size(encoded_vars) = 0").count() == 0
+
+    lt, vd = json_string_dicts(encoded)
+    lt_rows = [(r["logtype_id"], r["logtype"]) for r in lt.collect()]
+    vd_rows = [(r["var_id"], r["var_str"]) for r in vd.collect()]
+    dec = decode_json_strings(spark, encoded, lt_rows, vd_rows)
+    bad = dec.join(store, ["event_id", "path"]).filter("text != value").count()
+    assert bad == 0
+    assert dec.count() == store.count()
+    encoded.unpersist()
+
+
+def test_clpstring_search_matches_raw_values(spark):
+    from pyspark.sql import functions as F
+
+    from clp_spark.plans.semistructured import (
+        encode_json_strings,
+        infer_json_schema,
+        json_string_dicts,
+        json_string_store,
+        parse_json,
+        search_json_strings,
+    )
+    from clp_spark.sources.jsonlogs import load_jsonlogs
+
+    df = load_jsonlogs(spark, "/root/testdata/sf0.001")
+    schema = infer_json_schema(spark, df, "json")
+    store = json_string_store(parse_json(df, "json", schema), schema)
+    encoded = encode_json_strings(store).persist()
+    lt, vd = json_string_dicts(encoded)
+
+    got = {
+        (r["event_id"], r["path"])
+        for r in search_json_strings(encoded, lt, vd, "host h1*").collect()
+    }
+    want = {
+        (r["event_id"], r["path"])
+        for r in store.filter(F.col("value").rlike(".*host h1.*")).collect()
+    }
+    assert got == want and got
+    # WontMatch early-out inside JSON strings
+    assert search_json_strings(encoded, lt, vd, "zz_nope_zz").count() == 0
+    encoded.unpersist()
+
+
+def test_infer_json_schema_is_rdd_free_and_sampled(spark):
+    """VERDICT r1 item 9: inference must not round-trip the corpus through
+    a Python RDD; it samples via LIMIT + driver-local parallelize."""
+    from clp_spark.plans.semistructured import infer_json_schema, merge_schemas
+    from clp_spark.sources.jsonlogs import load_jsonlogs
+    from pyspark.sql import types as T
+
+    df = load_jsonlogs(spark, "/root/testdata/sf0.001")
+    schema = infer_json_schema(spark, df, "json", sample_rows=64)
+    names = {f.name for f in schema.fields}
+    assert {"level", "err", "tags", "metric"} <= names
+
+    # registry merge: a prior schema keeps keys the sample misses
+    prior = T.StructType([T.StructField("rare_key", T.StringType())])
+    merged = infer_json_schema(spark, df, "json", sample_rows=8, prior=prior)
+    assert "rare_key" in {f.name for f in merged.fields}
+
+    a = T.StructType([T.StructField("x", T.LongType()),
+                      T.StructField("s", T.StructType([T.StructField("a", T.LongType())]))])
+    b = T.StructType([T.StructField("x", T.StringType()),
+                      T.StructField("s", T.StructType([T.StructField("b", T.LongType())]))])
+    m = merge_schemas(a, b)
+    assert m["x"].dataType == T.StringType()  # conflict widens to string
+    assert {f.name for f in m["s"].dataType.fields} == {"a", "b"}
