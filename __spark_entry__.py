@@ -320,6 +320,16 @@ def q_json_search_clpstring(spark, sf_dir):
     )
 
 
+def q_json_projection(spark, sf_dir):
+    """Search-level projection (clp_s --projection, Projection.cpp): KQL
+    filter + wildcard-resolved selected paths only."""
+    from clp_spark.plans.semistructured import project_json
+
+    parsed = _json_parsed(spark, sf_dir)
+    filtered = kql_filter(parsed.select("event_id", "rec"), "rec: {level: ERROR}")
+    return project_json(filtered, ["err.*", "level"])
+
+
 def q_json_latency_by_level(spark, sf_dir):
     flat = _json_parsed(spark, sf_dir).select("rec.*")
     return (
@@ -375,6 +385,19 @@ def q_stitch_messages(spark, sf_dir):
     from clp_spark.sources.jsonlogs import load_textlines
 
     return stitch_messages(load_textlines(spark, sf_dir)).select(
+        "file_id", "msg_idx", "pattern_id", "ts_ms", "content"
+    )
+
+
+def q_stitch_multi_ts(spark, sf_dir):
+    """Extended timestamp-pattern table end-to-end: a corpus mixing six of
+    the reference's formats (slash-date+millis, '01 Jan 2016 ...,085',
+    '[yyyymmdd-hh:mm:ss]', 12-hour %l AM/PM, space-padded %k hour,
+    double-space) through message stitching (clp/TimestampPattern.cpp:120-202)."""
+    from clp_spark.plans.textlogs import stitch_messages
+    from clp_spark.sources.jsonlogs import load_textlines_multi
+
+    return stitch_messages(load_textlines_multi(spark, sf_dir)).select(
         "file_id", "msg_idx", "pattern_id", "ts_ms", "content"
     )
 
@@ -468,6 +491,83 @@ def q_fingerprint(spark, sf_dir):
     return TM.fingerprint(d)
 
 
+# --- Spark-side INVARIANT queries for signature-based operators ----------
+# The signature algebra (minhash/simhash/LSH buckets) is not ANSI-SQL-
+# expressible, so those queries get rows-only checks; these companions
+# verify the PROPERTIES that make the operators correct, with a constant
+# oracle (VERDICT r1 item 10).
+
+def q_lsh_superset_check(spark, sf_dir):
+    """MinHash-LSH completeness: every exact n-gram-Jaccard pair >= the
+    threshold must be found by the banded LSH path. Output: #missed = 0."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = DD.ngram_jaccard_pairs(d, threshold=JACCARD_THRESHOLD, k=JACCARD_K).select(
+        "id_a", "id_b"
+    )
+    lsh = DD.minhash_lsh_pairs(d, threshold=JACCARD_THRESHOLD).select("id_a", "id_b")
+    return exact.join(lsh, ["id_a", "id_b"], "left_anti").agg(
+        F.count("*").alias("missed")
+    )
+
+
+def q_simhash_neardup_check(spark, sf_dir):
+    """Band-of-bits completeness AND precision: the bucketed pair set must
+    EQUAL the brute-force all-pairs Hamming<=3 set. Output: #diff = 0."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    banded = DD.simhash_neardup_pairs(d, max_hamming=3).select("id_a", "id_b")
+    sk = DD.simhash_sketches(d)
+    a, b = sk.alias("a"), sk.alias("b")
+    brute = (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .filter(F.expr("bit_count(a.simhash ^ b.simhash) <= 3"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    missed = brute.join(banded, ["id_a", "id_b"], "left_anti")
+    extra = banded.join(brute, ["id_a", "id_b"], "left_anti")
+    return missed.unionByName(extra).agg(F.count("*").alias("diff"))
+
+
+def q_cosine_neardup_check(spark, sf_dir):
+    """Precision invariant: every emitted near-dup pair's EXACT cosine is
+    >= the threshold (the verify stage does its job). Output: #bad = 0."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = SIM.cosine_neardup_pairs(e, threshold=0.2, bits=6)
+    return pairs.filter(F.col("sim") < 0.2).agg(F.count("*").alias("bad"))
+
+
+def q_signature_determinism_check(spark, sf_dir):
+    """Content-determinism: identical texts must get identical simhash AND
+    identical fingerprints (signatures are pure functions of content).
+    Output: #violating text groups = 0."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sk = DD.simhash_sketches(d).withColumnRenamed("id", "doc_id")
+    fp = TM.fingerprint(d).select("doc_id", "content_hash", "min_shingle_hash")
+    joined = (
+        d.select("doc_id", "text")
+        .join(sk, "doc_id")
+        .join(fp, "doc_id")
+        .groupBy("text")
+        .agg(
+            F.countDistinct("simhash").alias("n_sh"),
+            F.countDistinct("content_hash", "min_shingle_hash").alias("n_fp"),
+        )
+    )
+    return joined.filter("n_sh > 1 OR n_fp > 1").agg(F.count("*").alias("violations"))
+
+
+def q_ann_lsh_exactmatch_check(spark, sf_dir):
+    """ANN-LSH guarantee: the query vector itself must be rank 1 with
+    sim ~= 1 (the exact-match property LSH bucketing cannot lose, since
+    identical vectors share every bucket). Output: ok = 1."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    top = SIM.ann_topk_lsh(e, _query_vec(spark, sf_dir), k=10).limit(1)
+    return top.select(
+        F.when((F.col("vec_id") == 0) & (F.col("sim") > 0.999), 1)
+        .otherwise(0)
+        .alias("ok")
+    )
+
+
 def _query_vec(spark, sf_dir):
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return [float(x) for x in e.filter("vec_id = 0").first()["embedding"]]
@@ -516,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grok_logtype_counts": q_grok_logtype_counts,
         "glt_logtype_table": q_glt_logtype_table,
         "stitch_messages": q_stitch_messages,
+        "stitch_multi_ts": q_stitch_multi_ts,
         "json_schema_counts": q_json_schema_counts,
         "json_schema_counts_structurized": q_json_schema_counts_structurized,
         "json_kql_error": q_json_kql_error,
@@ -523,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_kql_wildcard_key": q_json_kql_wildcard_key,
         "json_clpstring_roundtrip": q_json_clpstring_roundtrip,
         "json_search_clpstring": q_json_search_clpstring,
+        "json_projection": q_json_projection,
         "json_latency_by_level": q_json_latency_by_level,
         "q1_lineitem": q_q1_lineitem,
         "top_orders": q_top_orders,
@@ -537,6 +639,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "fingerprint": q_fingerprint,
+        "lsh_superset_check": q_lsh_superset_check,
+        "simhash_neardup_check": q_simhash_neardup_check,
+        "cosine_neardup_check": q_cosine_neardup_check,
+        "signature_determinism_check": q_signature_determinism_check,
+        "ann_lsh_exactmatch_check": q_ann_lsh_exactmatch_check,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "cosine_neardup": q_cosine_neardup,
@@ -791,6 +898,48 @@ def oracle_sql() -> dict[str, str]:
             FROM d GROUP BY 1, 2
             """
         ),
+        "stitch_multi_ts": (
+            """
+            WITH d AS (
+              SELECT 'mf-' || cast(cast(event_id % 20 as int) as string) AS file_id,
+                     cast(floor(event_id / 20) as bigint) AS line_idx,
+                     cast(event_id % 8 as int) AS sel,
+                     1 + cast(event_id % 28 as int) AS day,
+                     cast(event_id % 60 as int) AS sec,
+                     cast(event_id % 1000 as int) AS ms,
+                     cast(event_id % 5 as int) AS seg
+              FROM events
+            ), t AS (
+              SELECT file_id, line_idx,
+                CASE WHEN sel <= 5 THEN 1 ELSE 0 END AS has_ts,
+                CASE sel WHEN 0 THEN 19 WHEN 1 THEN 22 WHEN 2 THEN 25
+                         WHEN 3 THEN 28 WHEN 4 THEN 27 WHEN 5 THEN 26
+                         ELSE -1 END AS pid,
+                CASE sel
+                  WHEN 0 THEN epoch_ms(make_timestamp(2016,5,day,7,34,5)) + ms
+                  WHEN 1 THEN epoch_ms(make_timestamp(2016,1,1,15,50,sec)) + 85
+                  WHEN 2 THEN epoch_ms(make_timestamp(2017,1,6,16,56,sec))
+                  WHEN 3 THEN epoch_ms(make_timestamp(2016,1,day,15,50,sec))
+                  WHEN 4 THEN epoch_ms(make_timestamp(2015,1,31,9,50,sec))
+                  WHEN 5 THEN epoch_ms(make_timestamp(2016,1,day,15,50,45))
+                  ELSE NULL END AS ts_ms,
+                CASE sel
+                  WHEN 0 THEN ' start job' WHEN 1 THEN ' gc pause'
+                  WHEN 2 THEN ' poll tick' WHEN 3 THEN ' user login'
+                  WHEN 4 THEN ' kernel msg' WHEN 5 THEN 'Start-Date:  apt begin'
+                  ELSE 'continuation seg ' || cast(seg as string) END AS content
+              FROM d
+            ), m AS (
+              SELECT *, sum(has_ts) OVER (PARTITION BY file_id ORDER BY line_idx) AS msg_idx
+              FROM t
+            )
+            SELECT file_id, cast(msg_idx as bigint) AS msg_idx,
+              cast(coalesce(max(CASE WHEN has_ts = 1 THEN pid END), -1) as bigint) AS pattern_id,
+              max(CASE WHEN has_ts = 1 THEN ts_ms END) AS ts_ms,
+              string_agg(content, chr(10) ORDER BY line_idx) AS content
+            FROM m GROUP BY 1, 2
+            """
+        ),
         "json_schema_counts": (
             "SELECT CASE cast(event_id % 5 as int) "
             "WHEN 0 THEN 'component,latency_ms,level' "
@@ -820,6 +969,14 @@ def oracle_sql() -> dict[str, str]:
             _JSON_CTE
             + "SELECT event_id, 'note' AS path FROM jsonlogs "
               "WHERE json_extract_string(json, '$.note') LIKE '%retry 2 of%'"
+        ),
+        "json_projection": (
+            _JSON_CTE
+            + "SELECT event_id, "
+              "cast(json_extract(json, '$.err.code') as bigint) AS err_code, "
+              "json_extract_string(json, '$.err.msg') AS err_msg, "
+              "json_extract_string(json, '$.level') AS level "
+              "FROM jsonlogs WHERE json_extract_string(json, '$.level') = 'ERROR'"
         ),
         "json_kql_error": (
             _JSON_CTE
@@ -884,6 +1041,13 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT vec_id, round({_COS_EXPR}, 6) AS sim FROM embeddings "
             "ORDER BY sim DESC, vec_id LIMIT 10"
         ),
+        # invariant companions for the signature-based (rows-only) queries:
+        # the PROPERTY is SQL-trivial even though the signatures are not
+        "lsh_superset_check": "SELECT cast(0 as bigint) AS missed",
+        "simhash_neardup_check": "SELECT cast(0 as bigint) AS diff",
+        "cosine_neardup_check": "SELECT cast(0 as bigint) AS bad",
+        "signature_determinism_check": "SELECT cast(0 as bigint) AS violations",
+        "ann_lsh_exactmatch_check": "SELECT 1 AS ok",
         # minhash_lsh_dups / simhash / fingerprint / ann_topk_lsh: hash- or
         # signature-based (not ANSI-SQL-expressible) -> driver rows-only check.
     }

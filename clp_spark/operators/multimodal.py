@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns with
 typed metadata, processed through Arrow-batched mapInPandas stages.
 
-The decode/feature libraries (PIL, ffmpeg, torchaudio, ...) are NOT in this
-container, so the codec step is stubbed behind `decoder=` hooks with a
-deterministic fake (documented, tested); the Spark-side plumbing — schema,
-batch shape, partition sizing, UDF signatures — is real. On a cluster you
-inject a real decoder and nothing else changes.
+REAL codecs are built in for library-free formats — P6 PPM and uncompressed
+24-bit BMP images (pure numpy) and PCM WAV audio (stdlib wave) — so the
+decode -> feature path is exercised end-to-end in this container, payload
+bytes to pixels/samples to pooled features. Formats that need external
+libraries (JPEG/PNG via PIL, MP4 via ffmpeg) are NOT available here: inject
+them through the `decoder=` hook on a cluster — the Spark-side plumbing
+(schema, batch shape, partition sizing, UDF signatures) is identical. The
+deterministic fake decoder remains for plumbing tests of opaque formats.
 
 Scale notes: binary payloads dominate partition size, so media tables should
 be read with a smaller files.maxPartitionBytes (or written with
@@ -55,16 +58,24 @@ def fake_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
 
 
 def synthesize_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for plumbing tests."""
+    """Deterministic media table: REAL PPM images and PCM WAV audio (decoded
+    by the built-in codecs below), opaque payloads for video."""
     rng = np.random.RandomState(seed)
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
-        payload = rng.bytes(128 + (i % 5) * 64)
-        rows.append(
-            (i, kind, bytearray(payload), f"x-fake/{kind}", 32 + i % 16, 24 + i % 8,
-             1000 * (1 + i % 30))
-        )
+        w, h = 32 + i % 16, 24 + i % 8
+        dur = 1000 * (1 + i % 30)
+        if kind == "image":
+            img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payload, mime = encode_ppm(img), "image/x-portable-pixmap"
+        elif kind == "audio":
+            t = np.linspace(0, dur / 1000.0, max(dur * 16, 16))
+            payload = encode_wav(np.sin(2 * np.pi * (100 + i) * t).astype(np.float32))
+            mime = "audio/wav"
+        else:
+            payload, mime = rng.bytes(128 + (i % 5) * 64), "video/x-opaque"
+        rows.append((i, kind, bytearray(payload), mime, w, h, dur))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
@@ -128,3 +139,133 @@ def metadata_stats(media: DataFrame) -> DataFrame:
             F.max("duration_ms").alias("max_duration_ms"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# REAL codecs for formats that need no external libraries: PPM (P6) and
+# uncompressed 24-bit BMP images decode with numpy alone; WAV audio decodes
+# with the stdlib `wave` module. These make the decode -> feature path a
+# real end-to-end codec exercise in this container; inject PIL/ffmpeg
+# decoders for JPEG/PNG/MP4 on a real cluster — the plumbing is identical.
+# --------------------------------------------------------------------------
+
+def decode_ppm(payload: bytes, *_ignored) -> np.ndarray:
+    """P6 (binary) PPM -> (h, w) uint8 grayscale (mean over RGB)."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header: P6 <w> <h> <maxval>\n followed by raw RGB
+    parts = []
+    pos = 2
+    while len(parts) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment line
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        parts.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, _maxval = parts
+    rgb = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return rgb.reshape(h, w, 3).mean(axis=2).astype(np.uint8)
+
+
+def decode_bmp(payload: bytes, *_ignored) -> np.ndarray:
+    """Uncompressed 24-bit BMP -> (h, w) uint8 grayscale."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    if bpp != 24 or int.from_bytes(payload[30:34], "little") != 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    row_bytes = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * abs(h), offset=data_off
+    ).reshape(abs(h), row_bytes)[:, : w * 3].reshape(abs(h), w, 3)
+    if h > 0:  # bottom-up storage
+        rows = rows[::-1]
+    return rows.mean(axis=2).astype(np.uint8)
+
+
+def decode_image(payload: bytes, width: int = 0, height: int = 0) -> np.ndarray:
+    """Dispatch on magic bytes; real codecs for PPM/BMP, error otherwise
+    (inject a PIL-backed decoder for JPEG/PNG on a cluster)."""
+    if payload.startswith(b"P6"):
+        return decode_ppm(payload)
+    if payload.startswith(b"BM"):
+        return decode_bmp(payload)
+    raise ValueError("unsupported image format (PPM/BMP built in; inject decoder=)")
+
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """PCM WAV -> float32 mono samples in [-1, 1] (stdlib wave + numpy)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as wf:
+        n = wf.getnframes()
+        raw = wf.readframes(n)
+        width = wf.getsampwidth()
+        ch = wf.getnchannels()
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported sample width {width}")
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    return x
+
+
+def audio_features(media: DataFrame, n_features: int = 8) -> DataFrame:
+    """WAV decode -> per-window RMS energy profile (real DSP, no stubs)."""
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("features", ArrayType(FloatType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                x = decode_wav(bytes(payload))
+                chunks = np.array_split(x, n_features)
+                feats.append(
+                    [float(np.sqrt(np.mean(c * c))) if len(c) else 0.0 for c in chunks]
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
+
+    return media.filter(F.col("kind") == "audio").select("media_id", "payload").mapInPandas(
+        run, schema=schema
+    )
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w) or (h, w, 3) uint8 -> P6 PPM bytes (test/media synthesis)."""
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    h, w = img.shape[:2]
+    return b"P6 %d %d 255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """float32 [-1,1] mono -> 16-bit PCM WAV bytes (test/media synthesis)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(
+            (np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes()
+        )
+    return buf.getvalue()

@@ -341,9 +341,10 @@ _NUMERIC_DTS = ("int", "bigint", "smallint", "tinyint", "double", "float", "deci
 _TS_DTS = ("timestamp", "timestamp_ntz", "date")
 
 
-def _resolve_paths(df: DataFrame, col: ColDesc) -> list[tuple[str, ...]]:
+def _resolve_paths(df, col: ColDesc) -> list[tuple[str, ...]]:
     """Concrete field paths matching the descriptor tokens (schema walk;
-    literal dots in field names are fine — no dotted-string parsing)."""
+    literal dots in field names are fine — no dotted-string parsing).
+    Accepts a DataFrame or a StructType."""
     from pyspark.sql.types import StructType
 
     first_rx = re.compile(re.escape(col.namespace) + col.regexes[0])
@@ -383,7 +384,9 @@ def _resolve_paths(df: DataFrame, col: ColDesc) -> list[tuple[str, ...]]:
             elif isinstance(f.dataType, StructType):
                 walk(f.dataType, tok_i + 1, p)
 
-    walk(df.schema, 0, ())
+    from pyspark.sql.types import StructType as _ST
+
+    walk(df if isinstance(df, _ST) else df.schema, 0, ())
     return results
 
 

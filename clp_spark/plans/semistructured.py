@@ -346,3 +346,48 @@ def search_json_strings(
         key_cols=(id_col, "path"),
         **kw,
     )
+
+
+def resolve_projection(schema: T.StructType, patterns: list[str]) -> list[tuple[str, ...]]:
+    """clp_s search-level projection resolution (reference
+    clp_s/search/Projection.cpp, wired in clp_s/clp-s.cpp:197-228): each
+    (possibly wildcarded, possibly escaped) column pattern resolves against
+    the schema tree to concrete leaf paths; a non-wildcard pattern that
+    matches nothing is an error, exactly like the reference's
+    invalid-projection failure. Duplicates are dropped, order preserved."""
+    from .kql import KqlError, _parse_column, _resolve_paths
+
+    out: list[tuple[str, ...]] = []
+    seen: set[tuple[str, ...]] = set()
+    for pat in patterns:
+        col = _parse_column(pat, quoted=False)
+        paths = _resolve_paths(schema, col)
+        if not paths and not any("*" in t or "?" in t for t in col.tokens):
+            raise KqlError(f"projection column {pat!r} resolves to nothing")
+        for p in paths:
+            if p not in seen:
+                seen.add(p)
+                out.append(p)
+    return out
+
+
+def project_json(
+    parsed: DataFrame,
+    patterns: list[str],
+    parsed_col: str = "rec",
+    id_cols: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Return only the selected JSON paths (the clp_s --projection search
+    option): id columns + one output column per resolved leaf, aliased with
+    '_'-joined path segments. Column pruning reaches the scan (Catalyst
+    prunes the from_json struct to the referenced fields)."""
+    rec_schema = parsed.schema[parsed_col].dataType
+    assert isinstance(rec_schema, T.StructType)
+    paths = resolve_projection(rec_schema, patterns)
+    cols = [F.col(c) for c in id_cols]
+    for p in paths:
+        c = F.col(parsed_col)
+        for seg in p:
+            c = c.getField(seg)
+        cols.append(c.alias("_".join(p)))
+    return parsed.select(*cols)

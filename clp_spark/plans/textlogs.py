@@ -122,21 +122,32 @@ def read_text_logs(spark, paths) -> DataFrame:
     """FS text-file scan -> (file_id, line_idx, line), the stitch input
     (reference file enumeration + line reading, clp/clp/run.cpp:46-99).
 
-    Line order: spark.read.text preserves order within a split, and
-    monotonically_increasing_id is ascending per partition, so line_idx
-    orders correctly as long as one file maps to one split — size
-    spark.sql.files.maxPartitionBytes above the largest file (the reference
-    has the same sequential-per-file constraint: clp compresses each file as
-    one stream). For larger files, pre-split them or carry explicit line
-    numbers in the source.
+    Line order: each file is read WHOLE (`wholetext`), then split into
+    numbered lines with posexplode — line_idx is exact per file regardless
+    of file size, where the previous monotonically_increasing_id scheme
+    silently broke ordering once a file exceeded one input split
+    (maxPartitionBytes). The reference has the same sequential-per-file
+    model (clp compresses each file as one stream); one file = one task
+    here, and downstream stitching re-distributes by (file, message).
+    Transparent decompression (.gz) still applies. Memory bound: one file's
+    text per task — for multi-GB single files, pre-chunk at ingest like the
+    reference's split archives.
     """
-    lines = (
-        spark.read.text(paths)
-        .withColumn("file_id", F.input_file_name())
-        .withColumn("line_idx", F.monotonically_increasing_id())
-        .withColumnRenamed("value", "line")
+    # NOTE: must be the keyword form — DataFrameReader.text() passes its own
+    # wholetext=False default, silently overriding .option("wholetext", ...)
+    whole = spark.read.text(paths, wholetext=True).withColumn(
+        "file_id", F.input_file_name()
     )
-    return lines.select("file_id", "line_idx", "line")
+    # drop the empty tail element a trailing newline produces (line readers
+    # do not emit it)
+    arr = F.split(F.col("value"), "\n")
+    arr = F.when(
+        (F.size(arr) > 0) & (F.element_at(arr, -1) == ""),
+        F.slice(arr, 1, F.size(arr) - 1),
+    ).otherwise(arr)
+    return whole.select(
+        "file_id", F.posexplode(arr).alias("line_idx", "line")
+    ).withColumn("line_idx", F.col("line_idx").cast("long"))
 
 
 def ingest_text_logs(spark, paths) -> DataFrame:
@@ -144,3 +155,83 @@ def ingest_text_logs(spark, paths) -> DataFrame:
     messages, cut timestamps. Returns (file_id, msg_idx, pattern_id, ts_ms,
     ts_start, content)."""
     return stitch_messages(read_text_logs(spark, paths))
+
+
+def read_tar_logs(spark, paths) -> DataFrame:
+    """Tar-archive scan (the libarchive ingest path, reference
+    clp/LibarchiveReader.cpp + LibarchiveFileReader.cpp): every regular
+    member of every tar/tar.gz under `paths` becomes a logical file
+    (file_id = "<tar>!<member>") split into numbered lines.
+
+    Spark-first: tars are read WHOLE via binaryFile (a tar is inherently
+    sequential, like the reference's archive stream), member extraction
+    runs in an Arrow-batched pass with the stdlib tarfile module, and
+    everything downstream (stitch, parse) is the ordinary distributed
+    pipeline. One tar = one task; many tars parallelize."""
+    import io
+    import tarfile
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("file_id", StringType()),
+            StructField("line_idx", LongType()),
+            StructField("line", StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                with tarfile.open(fileobj=io.BytesIO(content)) as tf:
+                    for m in tf.getmembers():
+                        if not m.isreg():
+                            continue
+                        text = tf.extractfile(m).read().decode("utf-8", "surrogatepass")
+                        lines = text.split("\n")
+                        if lines and lines[-1] == "":
+                            lines.pop()
+                        fid = f"{path}!{m.name}"
+                        rows.extend((fid, i, ln) for i, ln in enumerate(lines))
+            yield pd.DataFrame(rows, columns=["file_id", "line_idx", "line"])
+
+    binaries = spark.read.format("binaryFile").load(paths).select("path", "content")
+    return binaries.mapInPandas(run, schema=schema)
+
+
+def read_url_text(spark, url: str, chunk_lines: int = 100_000) -> DataFrame:
+    """Network scan (reference clp/NetworkReader.cpp: ingest directly from
+    an http(s)/file URL): the driver streams the URL once into numbered
+    lines and parallelizes them — the scan is the sequential part (one
+    socket), everything after is distributed, matching the reference's
+    single-stream download model."""
+    import urllib.request
+
+    rows = []
+    with urllib.request.urlopen(url) as resp:
+        for i, raw in enumerate(resp):
+            rows.append((url, i, raw.decode("utf-8", "surrogatepass").rstrip("\n")))
+    return spark.createDataFrame(rows, "file_id string, line_idx long, line string")
+
+
+def read_stdin_lines(spark, stdin=None) -> DataFrame:
+    """stdin scan (reference clp supports compressing from stdin,
+    clp/clp/run.cpp): driver reads the pipe, executors do the rest."""
+    import sys
+
+    src = stdin if stdin is not None else sys.stdin
+    rows = [("<stdin>", i, ln.rstrip("\n")) for i, ln in enumerate(src)]
+    return spark.createDataFrame(rows, "file_id string, line_idx long, line string")
+
+
+def with_filename_pseudo_column(df: DataFrame, file_col: str = "file_id") -> DataFrame:
+    """Expose the reference's `$_filename` metadata pseudo-column
+    (clp_s range-index metadata filters, EvaluateRangeIndexFilters):
+    KQL queries can then filter `$_filename: "*.log"` — a plain Catalyst
+    filter here, pushed down to the scan (the reference's row-range prune
+    becomes parquet row-group pruning on the file column)."""
+    return df.withColumn("$_filename", F.col(file_col))

@@ -25,6 +25,7 @@ on every field the frame carries.
 
 from __future__ import annotations
 
+import json
 import struct
 from collections.abc import Iterator
 
@@ -143,3 +144,205 @@ def deserialize_ir(frames: DataFrame, frame_col: str = "frame") -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in IR_SCHEMA.fields])
 
     return frames.mapInPandas(run, schema=IR_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real CLP IR stream interop (the wire format CLP producers emit).
+#
+# Format re-derived from the reference protocol constants + serializers
+# (clp/ffi/ir_stream/protocol_constants.hpp:9-103, encoding_methods.cpp
+# serialize_preamble/serialize_log_event, utils.hpp serialize_int —
+# all integers BIG-endian):
+#
+#   magic (FD 2F B5 30 = eight-byte encoding | FD 2F B5 29 = four-byte)
+#   0x01 (EncodingJson)  0x11+u8len | 0x12+u16len   <metadata JSON bytes>
+#   per log event (eight-byte):
+#     per variable, in MESSAGE ORDER:
+#       dict var:    0x11+u8len | 0x12+u16len | 0x13+i32len, then bytes
+#       encoded var: 0x19, int64 (the archive int/float encodings)
+#     logtype:       0x21+u8len | 0x22+u16len | 0x23+i32len, then bytes
+#     timestamp:     0x30, int64 epoch ms
+#   0x00 (EOF)
+#
+# The eight-byte payload reuses CLP's archive variable encodings and
+# logtype escaping, which this engine already implements bit-exactly
+# (functions/encoding.py, functions/tokenizer.py) — so interop needs only
+# this framing. The four-byte encoding (delta timestamps + 17/31-bit
+# packed variables) is detected and rejected explicitly rather than
+# silently misread.
+# ---------------------------------------------------------------------------
+
+IR_MAGIC_8 = b"\xfd\x2f\xb5\x30"
+IR_MAGIC_4 = b"\xfd\x2f\xb5\x29"
+
+
+def write_ir_stream(
+    events,
+    *,
+    timestamp_pattern: str = "%Y-%m-%dT%H:%M:%S.%3",
+    timestamp_pattern_syntax: str = "",
+    tz_id: str = "UTC",
+) -> bytes:
+    """Serialize events -> a CLP eight-byte-encoding IR stream.
+
+    events: iterable of (ts_ms, logtype, var_types, dict_vars, encoded_vars)
+    — exactly the parse_encode output columns.
+    """
+    out = [IR_MAGIC_8]
+    meta = {
+        "VERSION": "0.0.2",
+        "VARIABLES_SCHEMA_ID": "",
+        "VARIABLE_ENCODING_METHODS_ID": "",
+        "TIMESTAMP_PATTERN": timestamp_pattern,
+        "TIMESTAMP_PATTERN_SYNTAX": timestamp_pattern_syntax,
+        "TZ_ID": tz_id,
+    }
+    mb = json.dumps(meta, sort_keys=True).encode("utf-8")
+    if len(mb) <= 0xFF:
+        out.append(bytes([0x01, 0x11, len(mb)]))
+    else:
+        out.append(bytes([0x01, 0x12]) + struct.pack(">H", len(mb)))
+    out.append(mb)
+
+    def put_str(tags: tuple[int, int, int], b: bytes):
+        if len(b) <= 0xFF:
+            out.append(bytes([tags[0], len(b)]))
+        elif len(b) <= 0xFFFF:
+            out.append(bytes([tags[1]]) + struct.pack(">H", len(b)))
+        else:
+            out.append(bytes([tags[2]]) + struct.pack(">i", len(b)))
+        out.append(b)
+
+    for ts_ms, logtype, var_types, dict_vars, encoded_vars in events:
+        di = 0
+        for t, ev in zip(var_types, encoded_vars):
+            if t == VT_DICT:
+                put_str((0x11, 0x12, 0x13), dict_vars[di].encode("utf-8"))
+                di += 1
+            else:
+                out.append(b"\x19" + struct.pack(">q", int(ev)))
+        put_str((0x21, 0x22, 0x23), logtype.encode("utf-8"))
+        out.append(b"\x30" + struct.pack(">q", int(ts_ms)))
+    out.append(b"\x00")
+    return b"".join(out)
+
+
+def read_ir_stream(buf: bytes):
+    """Parse a CLP IR stream -> (metadata dict, [(ts_ms, logtype, var_types,
+    dict_vars, encoded_nums, dict_slots), ...]).
+
+    Accepts the eight-byte encoding; rejects the four-byte encoding with a
+    clear error (its packed variable layout is a different codec)."""
+    from ..functions.tokenizer import _template_parts
+
+    if buf[:4] == IR_MAGIC_4:
+        raise NotImplementedError(
+            "four-byte-encoding CLP IR is not supported; re-emit with the "
+            "eight-byte encoding"
+        )
+    if buf[:4] != IR_MAGIC_8:
+        raise ValueError("not a CLP IR stream (bad magic)")
+    pos = 4
+    if buf[pos] != 0x01:
+        raise ValueError("expected JSON metadata tag")
+    pos += 1
+    tag = buf[pos]
+    pos += 1
+    if tag == 0x11:
+        mlen = buf[pos]
+        pos += 1
+    elif tag == 0x12:
+        (mlen,) = struct.unpack_from(">H", buf, pos)
+        pos += 2
+    else:
+        raise ValueError(f"bad metadata length tag {tag:#x}")
+    metadata = json.loads(buf[pos : pos + mlen].decode("utf-8"))
+    pos += mlen
+
+    _STR_LEN = {
+        0x11: ("B", 1), 0x12: (">H", 2), 0x13: (">i", 4),
+        0x21: ("B", 1), 0x22: (">H", 2), 0x23: (">i", 4),
+    }
+
+    events = []
+    dict_vars: list[str] = []
+    nums: list = []
+    while pos < len(buf):
+        tag = buf[pos]
+        pos += 1
+        if tag == 0x00:  # EOF
+            break
+        if tag in (0x11, 0x12, 0x13):  # dictionary variable
+            fmtc, n = _STR_LEN[tag]
+            ln = buf[pos] if n == 1 else struct.unpack_from(fmtc, buf, pos)[0]
+            pos += n
+            dict_vars.append(buf[pos : pos + ln].decode("utf-8"))
+            nums.append(None)
+            pos += ln
+        elif tag == 0x19:  # eight-byte encoded variable
+            (v,) = struct.unpack_from(">q", buf, pos)
+            pos += 8
+            nums.append(v)
+        elif tag in (0x21, 0x22, 0x23):  # logtype -> finalize vars
+            fmtc, n = _STR_LEN[tag]
+            ln = buf[pos] if n == 1 else struct.unpack_from(fmtc, buf, pos)[0]
+            pos += n
+            logtype = buf[pos : pos + ln].decode("utf-8")
+            pos += ln
+            ts_tag = buf[pos]
+            pos += 1
+            if ts_tag != 0x30:
+                raise ValueError(f"expected TimestampVal after logtype, got {ts_tag:#x}")
+            (ts_ms,) = struct.unpack_from(">q", buf, pos)
+            pos += 8
+            # variable kinds come from the template's placeholders; nums
+            # holds dict-vars as None in message order already
+            kinds = [ord(k) for k in _template_parts(logtype)[1]]
+            slots = []
+            d = 0
+            for k in kinds:
+                if k == VT_DICT:
+                    slots.append(d)
+                    d += 1
+                else:
+                    slots.append(-1)
+            events.append((ts_ms, logtype, kinds, dict_vars, nums, slots))
+            dict_vars, nums = [], []
+        else:
+            raise ValueError(f"unsupported IR tag {tag:#x} at {pos - 1}")
+    return metadata, events
+
+
+def read_clp_ir(frames: DataFrame, frame_col: str = "payload") -> DataFrame:
+    """(payload: binary IR stream per row) -> typed message rows — the scan
+    connector for existing CLP producers. Each stream decodes independently
+    (one task per stream; streams are the reference's unit of parallelism
+    too). Returns (stream_idx, event_idx, ts_ms, logtype, var_types,
+    dict_vars, encoded_nums, dict_slots)."""
+    from pyspark.sql.types import StructType as _S
+
+    schema = _S(
+        [
+            StructField("stream_idx", LongType()),
+            StructField("event_idx", IntegerType()),
+        ]
+        + [f for f in IR_SCHEMA.fields if f.name not in ("conv_id", "turn_idx")]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for sid, b in zip(pdf["stream_idx"], pdf[frame_col]):
+                _, events = read_ir_stream(bytes(b))
+                for i, (ts, lt, vt, dv, en, sl) in enumerate(events):
+                    rows.append((int(sid), i, ts, lt, vt, dv, en, sl))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            )
+
+    src = frames
+    if "stream_idx" not in src.columns:
+        from pyspark.sql import functions as _F
+
+        src = src.withColumn("stream_idx", _F.monotonically_increasing_id())
+    return src.select("stream_idx", frame_col).mapInPandas(run, schema=schema)

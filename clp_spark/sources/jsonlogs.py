@@ -73,3 +73,43 @@ def textlines_cte() -> str:
 def load_textlines(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
     return spark.sql(f"{textlines_cte()} SELECT * FROM lines")
+
+
+# --- multi-format timestamp corpus (exercises the extended pattern table:
+# ids 19/22/25/26/27/28 — slash-date+ms, "01 Jan 2016 ...,085",
+# "[yyyymmdd-hh:mm:ss]", double-space, %k space-padded hour, %l 12-hour).
+# Lines are built by string concatenation only, so the SAME SQL runs in
+# Spark and DuckDB; the ORACLE (DuckDB-only) recomputes epochs with
+# make_timestamp arithmetic.
+TEXTLINES_MULTI_SQL = """
+SELECT
+  'mf-' || cast(cast(event_id % 20 as int) as string) AS file_id,
+  cast(floor(event_id / 20) as bigint) AS line_idx,
+  CASE cast(event_id % 8 as int)
+    WHEN 0 THEN '2016/05/' || lpad(cast(1 + cast(event_id % 28 as int) as string), 2, '0')
+                || ' 07:34:05.' || lpad(cast(cast(event_id % 1000 as int) as string), 3, '0')
+                || ' start job'
+    WHEN 1 THEN '01 Jan 2016 15:50:' || lpad(cast(cast(event_id % 60 as int) as string), 2, '0')
+                || ',085 gc pause'
+    WHEN 2 THEN '[20170106-16:56:' || lpad(cast(cast(event_id % 60 as int) as string), 2, '0')
+                || '] poll tick'
+    WHEN 3 THEN 'Jan ' || lpad(cast(1 + cast(event_id % 28 as int) as string), 2, '0')
+                || ', 2016 3:50:' || lpad(cast(cast(event_id % 60 as int) as string), 2, '0')
+                || ' PM user login'
+    WHEN 4 THEN '150131  9:50:' || lpad(cast(cast(event_id % 60 as int) as string), 2, '0')
+                || ' kernel msg'
+    WHEN 5 THEN 'Start-Date: 2016-01-' || lpad(cast(1 + cast(event_id % 28 as int) as string), 2, '0')
+                || '  15:50:45 apt begin'
+    ELSE 'continuation seg ' || cast(cast(event_id % 5 as int) as string)
+  END AS line
+FROM events
+"""
+
+
+def textlines_multi_cte() -> str:
+    return f"WITH lines AS ({TEXTLINES_MULTI_SQL})\n"
+
+
+def load_textlines_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
+    return spark.sql(f"{textlines_multi_cte()} SELECT * FROM lines")

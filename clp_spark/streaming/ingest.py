@@ -10,12 +10,21 @@ so a plain file-source stream with `Trigger.AvailableNow` + `foreachBatch`
 reproduces the model exactly.
 
 Exactly-once: Spark's streaming checkpoint guarantees each micro-batch id is
-delivered at least once; we make the sink idempotent per batch id —
+delivered at least once; EVERY sink write is idempotent per batch id —
   * messages append as out/messages/batch_id=<id>/ via staging + atomic
     rename (a re-delivered batch overwrites itself, never double-appends);
-  * dictionaries and counts are re-merged from scratch-plus-delta with the
-    batch id recorded in the stream manifest; a batch already recorded is
-    skipped entirely.
+  * dictionaries and counts are DELTA-LOG sinks: each batch writes only its
+    own partial aggregate under <sink>/_deltas/batch_id=<id>/ (staged +
+    atomic rename — a redelivered batch overwrites its own delta, so there
+    is NO crash window between sink commits and the manifest: the manifest
+    is bookkeeping, not a correctness fence); reads aggregate
+    base ∪ live deltas; periodic compaction folds deltas into the base and
+    records the folded batch ids in the base metadata, so a crash between
+    base swap and delta cleanup cannot double count.
+Per-batch write cost is O(delta) — the previous design rewrote the WHOLE
+dictionary every micro-batch (read-all ∪ delta -> overwrite), which goes
+quadratic over a long-running stream; compaction amortizes the O(total)
+rewrite over COMPACT_EVERY batches.
 This is the same no-append-on-retry discipline as the batch ingest manifest
 (clp_spark/plans/ingest.py), which the north rule requires for exact
 per-sink count parity.
@@ -63,23 +72,107 @@ def _staged_write(df: DataFrame, final: str, partition_by: list[str] | None = No
     os.replace(staging, final)
 
 
-def _merge_dict(spark: SparkSession, delta: DataFrame, final: str, keys: list[str], cnt: str):
-    """Merge a batch's partial dictionary/count into the sink
-    (foreachBatch + MERGE pattern; reducer upsert analog,
-    reducer/reducer_server.cpp:21-69)."""
-    if os.path.isdir(final):
-        merged = (
-            spark.read.parquet(final)
-            .unionByName(delta)
-            .groupBy(*keys)
-            .agg(F.sum(cnt).alias(cnt))
+# (sink subdir, group keys, count column) for every delta-log sink
+DICT_SINKS = {
+    "logtype_dict": (["logtype_id", "logtype", "var_kinds"], "n_messages"),
+    "var_dict": (["var_id", "var_str"], "n_occurrences"),
+    "counts_logtype": (["logtype"], "cnt"),
+}
+
+# fold deltas into the base once this many live deltas accumulate
+COMPACT_EVERY = 8
+
+
+def _base_meta(sink_dir: str) -> dict:
+    p = os.path.join(sink_dir, "_base_meta.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return {"merged_batches": []}
+
+
+def _write_base_meta(sink_dir: str, meta: dict) -> None:
+    os.makedirs(sink_dir, exist_ok=True)
+    p = os.path.join(sink_dir, "_base_meta.json")
+    tmp = f"{p}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, sort_keys=True)
+    os.replace(tmp, p)
+
+
+def _live_delta_ids(sink_dir: str) -> list[int]:
+    """Delta batch ids NOT yet folded into the base."""
+    ddir = os.path.join(sink_dir, "_deltas")
+    if not os.path.isdir(ddir):
+        return []
+    merged = set(_base_meta(sink_dir)["merged_batches"])
+    out = []
+    for d in os.listdir(ddir):
+        if d.startswith("batch_id="):
+            b = int(d.split("=", 1)[1])
+            if b not in merged:
+                out.append(b)
+    return sorted(out)
+
+
+def write_dict_delta(delta: DataFrame, sink_dir: str, batch_id: int) -> None:
+    """O(delta) per-batch sink write, idempotent per batch id (staged +
+    atomic rename: a redelivered batch overwrites its own delta)."""
+    _staged_write(delta, os.path.join(sink_dir, "_deltas", f"batch_id={batch_id}"))
+
+
+def read_dict_sink(spark: SparkSession, sink_dir: str) -> DataFrame:
+    """The sink's current table: base ∪ live deltas, re-aggregated.
+
+    Sink subdir name determines (keys, cnt) via DICT_SINKS."""
+    name = os.path.basename(sink_dir.rstrip("/"))
+    keys, cnt = DICT_SINKS[name]
+    parts = []
+    base = os.path.join(sink_dir, "_base")
+    if os.path.isdir(base):
+        parts.append(spark.read.parquet(base))
+    for b in _live_delta_ids(sink_dir):
+        parts.append(spark.read.parquet(os.path.join(sink_dir, "_deltas", f"batch_id={b}")))
+    if not parts:
+        raise FileNotFoundError(f"empty dict sink {sink_dir}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy(*keys).agg(F.sum(cnt).alias(cnt))
+
+
+def compact_dict_sink(spark: SparkSession, sink_dir: str) -> int:
+    """Fold live deltas into the base (amortized O(total) every
+    COMPACT_EVERY batches; the streaming analog of the reference's
+    dictionary snapshot writes). Crash-safe ordering: the new base RECORDS
+    the folded batch ids before their delta dirs are removed, so reads
+    never double count a folded delta. Returns #deltas folded."""
+    live = _live_delta_ids(sink_dir)
+    if not live:
+        return 0
+    merged_df = read_dict_sink(spark, sink_dir)
+    meta = _base_meta(sink_dir)
+    _staged_write(merged_df, os.path.join(sink_dir, "_base"))
+    meta["merged_batches"] = sorted(set(meta["merged_batches"]) | set(live))
+    _write_base_meta(sink_dir, meta)
+    for b in live:  # cleanup; a crash here only leaves ignored dirs behind
+        shutil.rmtree(
+            os.path.join(sink_dir, "_deltas", f"batch_id={b}"), ignore_errors=True
         )
-    else:
-        merged = delta
-    _staged_write(merged, final)
+    return len(live)
 
 
-def process_batch(spark: SparkSession, out_dir: str, n_buckets: int = 16):
+def compact_all(spark: SparkSession, out_dir: str) -> None:
+    for name in DICT_SINKS:
+        compact_dict_sink(spark, os.path.join(out_dir, name))
+
+
+def process_batch(
+    spark: SparkSession,
+    out_dir: str,
+    n_buckets: int = 16,
+    compact_every: int = COMPACT_EVERY,
+):
     """Returns the foreachBatch callback for stream_ingest."""
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
@@ -100,27 +193,16 @@ def process_batch(spark: SparkSession, out_dir: str, n_buckets: int = 16):
                 os.path.join(out_dir, "messages", f"batch_id={batch_id}"),
                 ["logtype_bucket"],
             )
-            _merge_dict(
-                spark,
-                P.build_logtype_dict(parsed),
-                os.path.join(out_dir, "logtype_dict"),
-                ["logtype_id", "logtype", "var_kinds"],
-                "n_messages",
-            )
-            _merge_dict(
-                spark,
-                P.build_var_dict(parsed),
-                os.path.join(out_dir, "var_dict"),
-                ["var_id", "var_str"],
-                "n_occurrences",
-            )
-            _merge_dict(
-                spark,
-                P.per_logtype_counts(parsed),
-                os.path.join(out_dir, "counts_logtype"),
-                ["logtype"],
-                "cnt",
-            )
+            deltas = {
+                "logtype_dict": P.build_logtype_dict(parsed),
+                "var_dict": P.build_var_dict(parsed),
+                "counts_logtype": P.per_logtype_counts(parsed),
+            }
+            for name, delta in deltas.items():
+                sink = os.path.join(out_dir, name)
+                write_dict_delta(delta, sink, batch_id)
+                if len(_live_delta_ids(sink)) >= compact_every:
+                    compact_dict_sink(spark, sink)
         finally:
             parsed.unpersist()
 

@@ -195,3 +195,15 @@ def test_implicit_timestamp_conditions(spark):
     d = spark.createDataFrame([(1, "x")], ["id", "v"])
     with pytest.raises(KqlError):
         kql_filter(d, "v: x", begin_ts_ms=0)
+
+
+def test_filename_pseudo_column(spark):
+    """$_filename metadata pseudo-column (reference range-index filters)."""
+    from clp_spark.plans.textlogs import with_filename_pseudo_column
+
+    d = spark.createDataFrame(
+        [(1, "a.log"), (2, "b.txt")], ["id", "file_id"]
+    )
+    d2 = with_filename_pseudo_column(d)
+    got = [r["id"] for r in kql_filter(d2, '$_filename: *.log').collect()]
+    assert got == [1]

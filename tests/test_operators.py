@@ -145,3 +145,37 @@ def test_simhash_neardup_pairs_pigeonhole(spark):
     assert pairs.get((1, 2)) == 0
     assert (1, 3) in pairs and pairs[(1, 3)] > 0
     assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_real_image_codec_end_to_end(spark, media):
+    """REAL decode path: PPM payloads decode to their actual pixels; the
+    feature extractor consumes real image content (no fakes)."""
+    import numpy as np
+
+    imgs = media.filter("kind = 'image'")
+    feats = {
+        r["media_id"]: r["features"]
+        for r in MM.extract_features(imgs, decoder=MM.decode_image).collect()
+    }
+    # recompute one row's features locally from the raw payload bytes
+    row = imgs.orderBy("media_id").first()
+    img = MM.decode_image(bytes(row["payload"]))
+    assert img.shape == (row["height"], row["width"])
+    buckets = np.array_split(img.astype(np.float32).mean(axis=0), 8)
+    expect = [float(b.mean()) for b in buckets]
+    got = feats[row["media_id"]]
+    assert np.allclose(got, expect, atol=1e-4)
+
+
+def test_real_audio_codec_end_to_end(spark, media):
+    """WAV decode + RMS-window features over real PCM samples."""
+    import numpy as np
+
+    out = {r["media_id"]: r["features"] for r in MM.audio_features(media).collect()}
+    row = media.filter("kind = 'audio'").orderBy("media_id").first()
+    x = MM.decode_wav(bytes(row["payload"]))
+    chunks = np.array_split(x, 8)
+    expect = [float(np.sqrt(np.mean(c * c))) for c in chunks]
+    assert np.allclose(out[row["media_id"]], expect, atol=1e-5)
+    # a pure sine's RMS is ~0.707 in every window — real signal, not noise
+    assert all(abs(v - 0.707) < 0.05 for v in out[row["media_id"]])

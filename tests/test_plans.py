@@ -223,3 +223,53 @@ def test_search_distributed_dict_fallback(spark, monkeypatch):
     finally:
         G.clear_dict_cache()
     parsed.unpersist()
+
+
+def test_tar_scan_roundtrip(spark, tmp_path):
+    """Tar ingest (libarchive analog): members become logical files and
+    stitch + re-render byte-exactly."""
+    import tarfile
+
+    from clp_spark.plans import textlogs as TL
+
+    texts = {
+        "a.log": "1462692845000 alpha start\ncontinuation one\n",
+        "sub/b.log": "1462692846000 beta start\n1462692847000 gamma\n",
+    }
+    tar_path = tmp_path / "logs.tar.gz"
+    with tarfile.open(tar_path, "w:gz") as tf:
+        for name, text in texts.items():
+            p = tmp_path / name.replace("/", "_")
+            p.write_text(text)
+            tf.add(p, arcname=name)
+
+    lines = TL.read_tar_logs(spark, str(tar_path))
+    assert lines.count() == 4
+    msgs = TL.stitch_messages(lines)
+    rendered = {
+        (r["file_id"].split("!")[1], r["msg_idx"]): r["text"]
+        for r in TL.render_messages(msgs).collect()
+    }
+    assert rendered[("a.log", 1)] == "1462692845000 alpha start\ncontinuation one"
+    assert rendered[("sub/b.log", 2)] == "1462692847000 gamma"
+
+
+def test_url_scan_file_scheme(spark, tmp_path):
+    from clp_spark.plans import textlogs as TL
+
+    p = tmp_path / "remote.log"
+    p.write_text("1462692845000 hello\nworld\n")
+    df = TL.read_url_text(spark, p.as_uri())
+    rows = df.orderBy("line_idx").collect()
+    assert [r["line"] for r in rows] == ["1462692845000 hello", "world"]
+
+
+def test_stdin_scan(spark):
+    import io
+
+    from clp_spark.plans import textlogs as TL
+
+    df = TL.read_stdin_lines(spark, io.StringIO("1462692845000 a\nb\n"))
+    assert [r["line"] for r in df.orderBy("line_idx").collect()] == [
+        "1462692845000 a", "b",
+    ]

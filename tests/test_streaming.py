@@ -10,7 +10,14 @@ from pyspark.sql import functions as F
 
 from clp_spark.plans import pipeline as P
 from clp_spark.sources.transcripts import load_transcripts
-from clp_spark.streaming.ingest import process_batch, stream_ingest
+from clp_spark.streaming.ingest import (
+    compact_dict_sink,
+    process_batch,
+    read_dict_sink,
+    stream_ingest,
+    write_dict_delta,
+    _live_delta_ids,
+)
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -43,12 +50,13 @@ def test_stream_counts_match_batch_semantics(spark, streamed):
     direct = {r["logtype"]: r["cnt"] for r in P.per_logtype_counts(parsed).collect()}
     merged = {
         r["logtype"]: r["cnt"]
-        for r in spark.read.parquet(os.path.join(out, "counts_logtype")).collect()
+        for r in read_dict_sink(spark, os.path.join(out, "counts_logtype")).collect()
     }
     assert merged == direct
-    vd = spark.read.parquet(os.path.join(out, "var_dict"))
-    direct_vd = P.build_var_dict(parsed)
-    assert sorted(map(tuple, vd.collect())) == sorted(map(tuple, direct_vd.collect()))
+    vd = read_dict_sink(spark, os.path.join(out, "var_dict"))
+    direct_vd = P.build_var_dict(parsed).select("var_id", "var_str", "n_occurrences")
+    assert sorted(map(tuple, vd.select("var_id", "var_str", "n_occurrences").collect())) == \
+        sorted(map(tuple, direct_vd.collect()))
 
 
 def test_redelivered_batch_is_idempotent(spark, streamed):
@@ -57,12 +65,63 @@ def test_redelivered_batch_is_idempotent(spark, streamed):
     t = load_transcripts(spark, SF_DIR)
     before_msgs = spark.read.parquet(os.path.join(out, "messages")).count()
     before_counts = sorted(
-        map(tuple, spark.read.parquet(os.path.join(out, "counts_logtype")).collect())
+        map(tuple, read_dict_sink(spark, os.path.join(out, "counts_logtype")).collect())
     )
     fn = process_batch(spark, out)
     fn(t.limit(100), 0)  # batch 0 was already processed by the stream
     assert spark.read.parquet(os.path.join(out, "messages")).count() == before_msgs
     after_counts = sorted(
-        map(tuple, spark.read.parquet(os.path.join(out, "counts_logtype")).collect())
+        map(tuple, read_dict_sink(spark, os.path.join(out, "counts_logtype")).collect())
     )
     assert after_counts == before_counts
+
+
+def test_delta_log_writes_are_o_delta_and_replay_safe(spark, tmp_path):
+    """VERDICT r1 item 8 + ADVICE crash window: a batch's sink write touches
+    only its OWN delta dir (O(delta), not O(total)); replaying a batch whose
+    delta landed but whose manifest write was lost must not double count;
+    compaction folds deltas exactly once even if cleanup is interrupted."""
+    import shutil
+
+    sink = str(tmp_path / "counts_logtype")
+    t = load_transcripts(spark, SF_DIR)
+    parsed = P.parse_encode(t)
+    counts = P.per_logtype_counts(parsed).persist()
+    expected = sorted(map(tuple, counts.collect()))
+
+    def mtimes():
+        out = {}
+        for root, _d, files in os.walk(sink):
+            for f in files:
+                p = os.path.join(root, f)
+                out[p] = os.path.getmtime(p)
+        return out
+
+    write_dict_delta(counts, sink, 0)
+    write_dict_delta(counts, sink, 1)
+    before = mtimes()
+    write_dict_delta(counts, sink, 2)
+    after = mtimes()
+    # O(delta): files of batches 0/1 are untouched by batch 2's write
+    assert all(after[p] == m for p, m in before.items())
+
+    # crash-replay: batch 2's delta is redelivered (manifest lost) — the
+    # overwrite must leave totals exact, not doubled
+    write_dict_delta(counts, sink, 2)
+    got = {r["logtype"]: r["cnt"] for r in read_dict_sink(spark, sink).collect()}
+    assert got == {k: 3 * v for k, v in dict(expected).items()} or got == {
+        r[0]: 3 * r[1] for r in expected
+    }
+
+    # compaction folds each delta exactly once; a leftover (uncleaned) delta
+    # dir of a folded batch is ignored by reads
+    n = compact_dict_sink(spark, sink)
+    assert n == 3 and _live_delta_ids(sink) == []
+    # simulate interrupted cleanup: re-create a folded batch's delta dir
+    src = os.path.join(sink, "_base")
+    leftover = os.path.join(sink, "_deltas", "batch_id=1")
+    shutil.rmtree(leftover, ignore_errors=True)
+    shutil.copytree(src, leftover)
+    got2 = {r["logtype"]: r["cnt"] for r in read_dict_sink(spark, sink).collect()}
+    assert got2 == got  # folded ids excluded even though the dir exists
+    counts.unpersist()

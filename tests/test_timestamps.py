@@ -147,3 +147,90 @@ def test_gzip_text_file_ingestion(spark, tmp_path):
     rendered = render_messages(ingest_text_logs(spark, str(tmp_path)))
     texts = [r["text"] for r in rendered.orderBy("msg_idx").collect()]
     assert "\n".join(texts) + "\n" == content
+
+
+def test_multisplit_file_byte_exact_roundtrip(spark, tmp_path):
+    """A file LARGER than one input split must stitch in exact line order
+    (VERDICT r1 item 7: the old monotonic-id scheme silently broke once a
+    file spanned splits). maxPartitionBytes is dropped far below the file
+    size; wholetext reading keeps ordering exact regardless."""
+    from clp_spark.plans.textlogs import ingest_text_logs, render_messages
+
+    lines = []
+    base = 1462692845000
+    for i in range(20000):  # ~1.2 MB, two-line messages
+        lines.append(f"{base + i} job step {i % 7} with payload xyz{i}")
+        lines.append(f"continuation {i % 5}")
+    text = "\n".join(lines) + "\n"
+    p = tmp_path / "big.log"
+    p.write_text(text)
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+    try:
+        msgs = ingest_text_logs(spark, str(p))
+        rendered = render_messages(msgs).orderBy("msg_idx").collect()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+    assert len(rendered) == 20000
+    rebuilt = "\n".join(r["text"] for r in rendered) + "\n"
+    assert rebuilt == text  # byte-exact across the whole multi-split file
+
+
+def test_extended_pattern_table_roundtrip():
+    """Every reference example (TimestampPattern.cpp:120-202 comments) must
+    parse AND re-render byte-exactly; pattern coverage parity asserted."""
+    import pandas as pd
+
+    from clp_spark.functions.timestamps import (
+        PATTERNS,
+        render_timestamp,
+        search_timestamp_batch,
+    )
+
+    examples = [
+        "2015-01-31T15:50:45.392",
+        "2015-01-31T15:50:45,392",
+        "2015-01-31 15:50:45.392",
+        "2015-01-31 15:50:45,085",
+        "2015/01/31T15:50:45.123",
+        "2015/01/31T15:50:45,123",
+        "2015/01/31 15:50:45.123",
+        "2015/01/31 15:50:45,123",
+        "INFO [main] 2015-01-31 15:50:45,085",
+        "<<<2016-11-10 03:02:29:936",
+        "01 Jan 2016 15:50:17,085",
+        "2015-01-31T15:50:45",
+        "2015-01-31 15:50:45",
+        "2015/01/31T15:50:45",
+        "2015/01/31 15:50:45",
+        "[20170106-16:56:41]",
+        "Start-Date: 2015-01-31  15:50:45",
+        "15/01/31 15:50:45",
+        "150131  9:50:45",
+        "Jan 01, 2016 3:50:17 PM",
+        "January 31, 2015 15:50",
+        "E [31/Jan/2015:15:50:45",
+        "localhost - - [01/Jan/2016:15:50:17",
+        "192.168.4.5 - - [01/01/2016:15:50:17",
+        "Started POST for 127.0.0.1 at 2017-06-18 00:20:44",
+        "update-alternatives 2015-01-31 15:50:45",
+        "ERROR: apport (pid 4557) Thu Jan  1 15:50:45 2015",
+        "Thu Jan  1 15:50:45 2015",  # weekday consistent: only the epoch is stored
+        "Jan 21 11:56:42",
+        "Jan 01 11:56:42",
+        "01-21 11:56:42.392",
+        "916321",
+    ]
+    res = search_timestamp_batch(pd.Series(examples))
+    n_new = 0
+    for line, (_, row) in zip(examples, res.iterrows()):
+        pid = int(row["pattern_id"])
+        assert pid >= 0, f"no pattern matched {line!r}"
+        span = line[int(row["ts_start"]): int(row["ts_end"])]
+        assert render_timestamp(pid, int(row["ts_ms"])) == span, (line, pid)
+        if pid >= 17:
+            n_new += 1
+    assert n_new >= 10  # the appended reference patterns are exercised
+    assert len(PATTERNS) >= 33  # reference table size parity
