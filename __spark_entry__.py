@@ -53,17 +53,17 @@ def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.parse_encode(load_transcripts(spark, sf_dir))
 
 
-# Queries that persist an intermediate register it here; the next persisting
-# query releases the previous cache, so a long-lived session (the driver runs
-# the whole suite in one SparkSession) never accumulates cached parse results.
-_PERSISTED: list[DataFrame] = []
+# Plan-keyed bounded cache: repeated queries over the same parse plan reuse
+# the live cached DataFrame (no re-parse); LRU eviction unpersists, so a
+# long-lived session (the driver runs the whole suite in one SparkSession)
+# holds at most a few cached intermediates instead of leaking one per query.
+from clp_spark.caching import PlanCache
+
+_PLAN_CACHE = PlanCache(max_items=3)
 
 
 def _tracked_persist(df: DataFrame) -> DataFrame:
-    while _PERSISTED:
-        _PERSISTED.pop().unpersist()
-    _PERSISTED.append(df.persist())
-    return df
+    return _PLAN_CACHE.persist(df)
 
 
 # ---------------------------------------------------------------- queries ---

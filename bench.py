@@ -244,7 +244,7 @@ def run_scaling() -> dict | None:
     hits both sides equally, per-pair efficiency ratios, and the median
     ratio reported. Each probe is its own pinned JVM (the only honest way
     to vary local[N]); each runs warmup + median-of-3 trials."""
-    pairs = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "2"))
+    pairs = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
     ratio = SCALE_HI / SCALE_LO
     runs = []
     for _ in range(pairs):
@@ -258,7 +258,11 @@ def run_scaling() -> dict | None:
     effs = sorted(
         (hi["turns_per_sec"] / lo["turns_per_sec"]) / ratio for lo, hi in runs
     )
-    eff = effs[len(effs) // 2]
+    # LOWER median for even pair counts — this host's clock speed drifts
+    # between probe windows (pair ratios have been observed from 0.68 to a
+    # SUPERLINEAR 1.26 in one run, tracking the pure-python preflight);
+    # rounding down keeps the reported number conservative.
+    eff = effs[(len(effs) - 1) // 2]
     best_lo = max((lo for lo, _ in runs), key=lambda r: r["turns_per_sec"])
     best_hi = max((hi for _, hi in runs), key=lambda r: r["turns_per_sec"])
     return {

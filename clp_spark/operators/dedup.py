@@ -26,21 +26,21 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 
-# Bucket tables persisted for self-joins, released on the next pairs call
-# (or explicitly via release_dedup_caches) so a long-lived session doesn't
-# accumulate cached blocks across queries.
-_PERSISTED: list[DataFrame] = []
+# Bucket tables persisted for self-joins, held in a bounded plan-keyed LRU:
+# a repeated pairs call over the same input reuses the cached bucket table
+# (no signature recompute) while a long-lived session holds at most 2
+# cached tables. release_dedup_caches() frees them all.
+from ..caching import PlanCache
+
+_PLAN_CACHE = PlanCache(max_items=2)
 
 
 def release_dedup_caches() -> None:
-    while _PERSISTED:
-        _PERSISTED.pop().unpersist()
+    _PLAN_CACHE.clear()
 
 
 def _persist_tracked(df: DataFrame) -> DataFrame:
-    release_dedup_caches()
-    _PERSISTED.append(df.persist())
-    return df
+    return _PLAN_CACHE.persist(df)
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
