@@ -589,3 +589,161 @@ def encode_ids_arrow(texts):
         pa.array(ev_offsets), pa.array(v_final.astype(np.int64), type=pa.int64())
     )
     return pa.array(lt_ids, type=pa.int64()), ev
+
+
+def _pa_strings_from_spans(buf: np.ndarray, starts: np.ndarray, ends: np.ndarray):
+    """Arrow StringArray from byte spans of one buffer: ONE gather into a
+    contiguous values buffer + int32 offsets — no Python str objects."""
+    import pyarrow as pa
+
+    lens = ends - starts
+    pos = _ranges(lens)
+    values = buf[np.repeat(starts, lens) + pos] if len(pos) else np.zeros(0, np.uint8)
+    offs = np.zeros(len(starts) + 1, dtype=np.int32)
+    np.cumsum(lens, out=offs[1:])
+    return pa.StringArray.from_buffers(
+        len(starts), pa.py_buffer(offs.tobytes()), pa.py_buffer(values.tobytes())
+    )
+
+
+def _pa_list(offsets_counts: np.ndarray, values) -> "object":
+    import pyarrow as pa
+
+    offs = np.zeros(len(offsets_counts) + 1, dtype=np.int32)
+    np.cumsum(offsets_counts, out=offs[1:])
+    return pa.ListArray.from_arrays(pa.array(offs), values)
+
+
+def encode_full_arrow(texts):
+    """Arrow-native FULL encode: pa string array -> dict of pa arrays
+    (logtype, var_types, dict_vars, logtype_id, dict_var_ids, encoded_vars).
+
+    Same semantics as encode_batch, zero per-row Python anywhere: input
+    bytes come from the Arrow buffers, the logtype strings are rebuilt as
+    one gather into a contiguous Arrow values buffer, dict-var strings
+    likewise, ids are span-hashed. Batches containing placeholder/escape
+    bytes fall back to the pandas path wholesale (rare by construction).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(texts)
+    empty64 = pa.array([], type=pa.int64())
+    if n == 0:
+        return {
+            "logtype": pa.array([], type=pa.string()),
+            "var_types": pa.ListArray.from_arrays(
+                pa.array([0], type=pa.int32()), pa.array([], type=pa.int32())
+            ),
+            "dict_vars": pa.ListArray.from_arrays(
+                pa.array([0], type=pa.int32()), pa.array([], type=pa.string())
+            ),
+            "logtype_id": empty64,
+            "dict_var_ids": pa.ListArray.from_arrays(
+                pa.array([0], type=pa.int32()), empty64
+            ),
+            "encoded_vars": pa.ListArray.from_arrays(
+                pa.array([0], type=pa.int32()), empty64
+            ),
+        }
+    if texts.null_count:
+        texts = pc.fill_null(texts, "")
+    if not pa.types.is_large_string(texts.type):
+        texts = texts.cast(pa.large_string())
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+
+    buffers = texts.buffers()
+    raw = buffers[2]
+    obuf = (
+        np.frombuffer(raw, dtype=np.uint8, count=raw.size)
+        if raw is not None
+        else np.zeros(0, dtype=np.uint8)
+    )
+    offs_all = np.frombuffer(buffers[1], dtype=np.int64)
+    offs = offs_all[texts.offset : texts.offset + n + 1]
+    lens = np.diff(offs)
+
+    total = int(lens.sum())
+    nb = total + n - 1 if n > 1 else total
+    row_start = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1] + 1, out=row_start[1:])
+    buf = np.zeros(max(nb, 0), dtype=np.uint8)
+    pos_in_row = _ranges(lens)
+    src = np.repeat(offs[:-1], lens) + pos_in_row
+    dst = np.repeat(row_start, lens) + pos_in_row
+    buf[dst] = obuf[src]
+
+    bad = np.flatnonzero(_IS_SCALAR_BYTE[buf])
+    sep_pos = row_start[1:] - 1
+    if len(bad) and len(bad[~np.isin(bad, sep_pos)]):
+        pdf = encode_batch(pd.Series(texts.to_pylist()))
+        return {
+            "logtype": pa.array(pdf["logtype"], type=pa.string()),
+            "var_types": pa.array(
+                pdf["var_types"].tolist(), type=pa.list_(pa.int32())
+            ),
+            "dict_vars": pa.array(
+                pdf["dict_vars"].tolist(), type=pa.list_(pa.string())
+            ),
+            "logtype_id": pa.array(pdf["logtype_id"].to_numpy(), type=pa.int64()),
+            "dict_var_ids": pa.array(
+                pdf["dict_var_ids"].tolist(), type=pa.list_(pa.int64())
+            ),
+            "encoded_vars": pa.array(
+                pdf["encoded_vars"].tolist(), type=pa.list_(pa.int64())
+            ),
+        }
+
+    a = _analyze(buf.tobytes(), buf, row_start, n)
+    if a.empty:
+        from .hash64 import hash64_spans
+
+        lt_ids = hash64_spans(obuf, offs[:-1], offs[1:])
+        zero_counts = np.zeros(n, dtype=np.int64)
+        return {
+            "logtype": texts.cast(pa.string()),
+            "var_types": _pa_list(zero_counts, pa.array([], type=pa.int32())),
+            "dict_vars": _pa_list(zero_counts, pa.array([], type=pa.string())),
+            "logtype_id": pa.array(lt_ids, type=pa.int64()),
+            "dict_var_ids": _pa_list(zero_counts, empty64),
+            "encoded_vars": _pa_list(zero_counts, empty64),
+        }
+
+    lt_ids = _logtype_hashes(a, buf, row_start, lens)
+    dict_ids = _dict_hashes(a, buf)
+    v_final = _encoded_var_values(a, dict_ids)
+
+    # logtype strings: drop killed var-span bytes AND the NUL separators so
+    # rows become contiguous in one Arrow values buffer
+    keep_all = a.keep.copy()
+    if n > 1:
+        keep_all[sep_pos] = False
+    kc = np.zeros(nb + 1, dtype=np.int64)
+    np.cumsum(keep_all, out=kc[1:])
+    cbuf = a.out[keep_all]
+    lt_arr = _pa_strings_from_spans(
+        cbuf,
+        kc[row_start],
+        kc[np.minimum(row_start + lens, nb)],
+    )
+
+    row_of_var = np.searchsorted(row_start, a.tok_s[a.v_idx], side="right") - 1
+    row_of_dict = np.searchsorted(row_start, a.tok_s[a.d_idx], side="right") - 1
+    var_counts = np.bincount(row_of_var, minlength=n)
+    dict_counts = np.bincount(row_of_dict, minlength=n)
+
+    dv_values = _pa_strings_from_spans(buf, a.tok_s[a.d_idx], a.tok_e[a.d_idx])
+
+    import pyarrow as _pa
+
+    return {
+        "logtype": lt_arr,
+        "var_types": _pa_list(var_counts, _pa.array(a.v_types.astype(np.int32))),
+        "dict_vars": _pa_list(dict_counts, dv_values),
+        "logtype_id": _pa.array(lt_ids, type=_pa.int64()),
+        "dict_var_ids": _pa_list(dict_counts, _pa.array(dict_ids, type=_pa.int64())),
+        "encoded_vars": _pa_list(
+            var_counts, _pa.array(v_final.astype(np.int64), type=_pa.int64())
+        ),
+    }

@@ -73,23 +73,57 @@ def _encode_udf(texts: pd.Series) -> pd.DataFrame:
     return pdf[["logtype", "var_types", "dict_vars", "logtype_id", "dict_var_ids", "encoded_vars"]]
 
 
-def parse_encode(transcripts: DataFrame, text_col: str = "text") -> DataFrame:
-    """Tokenize + encode every turn's text (one Arrow-batched pass).
-
-    A SCALAR pandas UDF over the text column only — the other input columns
-    never round-trip through Python (≈2× parse-stage throughput vs
-    mapInPandas, measured in bench.py). Adds: logtype, var_types, dict_vars
-    (slot-ordered), and the content-hash ids logtype_id / dict_var_ids /
-    encoded_vars (dict slots filled with ids — the ragged-array layout of
-    reference File.hpp:257-259, kept per row). Ids are hashed INSIDE the
-    UDF over the already-flat byte buffers (functions/hash64.py) — hashing
-    JVM-side would only re-read the very strings whose transfer the ids
-    exist to avoid. For the messages-only path use parse_encode_ids, which
-    skips materializing template/variable strings entirely.
-    """
+def parse_encode_scalar(transcripts: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scalar-pandas-UDF variant of parse_encode — use when downstream MIGHT
+    not consume the parse outputs: a scalar UDF in a Project is ELIDED by
+    Catalyst column pruning when nothing references its struct (a declared-
+    then-unused parse costs zero), whereas the mapInArrow node in
+    parse_encode is a black-box barrier Catalyst cannot remove. When the
+    outputs ARE consumed, prefer parse_encode: its Arrow-native
+    marshalling is faster than this path's pandas object columns."""
     return transcripts.withColumn("_enc", _encode_udf(F.col(text_col))).select(
         "*", "_enc.*"
     ).drop("_enc")
+
+
+def parse_encode(transcripts: DataFrame, text_col: str = "text") -> DataFrame:
+    """Tokenize + encode every turn's text (one Arrow-NATIVE pass).
+
+    mapInArrow: input text bytes come straight from the Arrow string
+    buffers, outputs (template strings, dict-var strings, id/encoded
+    arrays) are built as Arrow arrays from numpy buffers, and passthrough
+    columns are copied at the Arrow level — NO pandas object columns
+    anywhere ("vectorized pandas/Arrow UDFs ... never per-row Python").
+    Adds: logtype, var_types, dict_vars (slot-ordered), and the
+    content-hash ids logtype_id / dict_var_ids / encoded_vars (dict slots
+    filled with ids — the ragged-array layout of reference
+    File.hpp:257-259, kept per row). Ids are hashed INSIDE the UDF over
+    the flat byte buffers (functions/hash64.py) — hashing JVM-side would
+    only re-read the very strings whose transfer the ids exist to avoid.
+    For the messages-only path use parse_encode_ids, which skips
+    materializing template/variable strings entirely.
+    """
+    import pyarrow as pa
+
+    out_schema = StructType(
+        [f for f in transcripts.schema.fields] + PARSED_EXTRA_FIELDS
+    )
+    names = [f.name for f in out_schema.fields]
+    in_names = [f.name for f in transcripts.schema.fields]
+    text_idx = in_names.index(text_col)
+
+    def run(batches):
+        from clp_spark.functions.tokenizer_vec import encode_full_arrow
+
+        for b in batches:
+            enc = encode_full_arrow(b.column(text_idx))
+            arrays = [b.column(i) for i in range(b.num_columns)] + [
+                enc["logtype"], enc["var_types"], enc["dict_vars"],
+                enc["logtype_id"], enc["dict_var_ids"], enc["encoded_vars"],
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return transcripts.mapInArrow(run, schema=out_schema)
 
 
 def parse_encode_ids(transcripts: DataFrame, text_col: str = "text") -> DataFrame:
