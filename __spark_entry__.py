@@ -329,12 +329,22 @@ def q_json_search_clpstring(spark, sf_dir):
 
 
 def q_json_projection(spark, sf_dir):
-    """Search-level projection (clp_s --projection, Projection.cpp): KQL
-    filter + wildcard-resolved selected paths only."""
-    from clp_spark.plans.semistructured import project_json
+    """Search-level projection (clp_s --projection, Projection.cpp): the
+    selected paths prune the from_json schema itself (schema_subset), so
+    unused JSON fields are never parsed — then KQL filter + project."""
+    from clp_spark.plans.semistructured import (
+        infer_json_schema,
+        parse_json,
+        project_json,
+        schema_subset,
+    )
+    from clp_spark.sources.jsonlogs import load_jsonlogs
 
-    parsed = _json_parsed(spark, sf_dir)
-    filtered = kql_filter(parsed.select("event_id", "rec"), "rec: {level: ERROR}")
+    df = load_jsonlogs(spark, sf_dir)
+    schema = infer_json_schema(spark, df, "json")
+    needed = schema_subset(schema, ["err.*", "level"])
+    parsed = parse_json(df, "json", needed).select("event_id", "rec")
+    filtered = kql_filter(parsed, "rec: {level: ERROR}")
     return project_json(filtered, ["err.*", "level"])
 
 

@@ -391,3 +391,37 @@ def project_json(
             c = c.getField(seg)
         cols.append(c.alias("_".join(p)))
     return parsed.select(*cols)
+
+
+def schema_subset(schema: T.StructType, patterns: list[str]) -> T.StructType:
+    """Prune the schema tree to the leaves matching `patterns` (wildcards
+    allowed) — explicit clp_s-style projection pushdown for from_json.
+
+    Catalyst's JSON expression optimization does not reliably narrow a
+    from_json that feeds multiple consumers, and at 100 TB parsing unused
+    JSON fields is pure waste: parse_json(df, col, schema_subset(schema,
+    needed)) makes the pruning part of the declared plan."""
+    paths = resolve_projection(schema, patterns)
+    root: dict = {}
+    for p in paths:
+        cur = root
+        for seg in p[:-1]:
+            cur = cur.setdefault(seg, {})
+        cur.setdefault(p[-1], None)
+
+    def build(node: dict, sch: T.StructType) -> T.StructType:
+        fields = []
+        for f in sch.fields:
+            if f.name not in node:
+                continue
+            sub = node[f.name]
+            if sub is None:
+                fields.append(f)
+            else:
+                assert isinstance(f.dataType, T.StructType)
+                fields.append(
+                    T.StructField(f.name, build(sub, f.dataType), f.nullable)
+                )
+        return T.StructType(fields)
+
+    return build(root, schema)

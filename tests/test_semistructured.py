@@ -164,3 +164,31 @@ def test_infer_json_schema_is_rdd_free_and_sampled(spark):
     m = merge_schemas(a, b)
     assert m["x"].dataType == T.StringType()  # conflict widens to string
     assert {f.name for f in m["s"].dataType.fields} == {"a", "b"}
+
+
+def test_projection_prunes_from_json_schema(spark):
+    """schema_subset makes from_json parse ONLY the projected fields — the
+    clp_s projection pushdown expressed in the plan (at 100TB, parsing
+    unused JSON fields is pure waste)."""
+    from clp_spark.plans.semistructured import (
+        infer_json_schema,
+        parse_json,
+        project_json,
+        schema_subset,
+    )
+
+    df = load_jsonlogs(spark, SF_DIR)
+    schema = infer_json_schema(spark, df, "json")
+    sub = schema_subset(schema, ["err.*", "level"])
+    assert {f.name for f in sub.fields} == {"err", "level"}
+    parsed = parse_json(df, "json", sub).select("event_id", "rec")
+    out = project_json(parsed, ["err.*", "level"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the corpus-synthesis SQL mentions every key; assert on the from_json
+    # expression itself: its schema must contain only the projected fields
+    i = plan.find("from_json(")
+    frag = plan[i : plan.find("CASE", i)]  # the from_json SCHEMA args
+    assert "StructField(err" in frag and "StructField(level" in frag
+    assert "note" not in frag and "latency_ms" not in frag  # never parsed
+    row = out.filter("err_msg IS NOT NULL").first()
+    assert row["err_msg"] == "timeout" and row["level"] == "ERROR"
