@@ -425,3 +425,93 @@ def schema_subset(schema: T.StructType, patterns: list[str]) -> T.StructType:
         return T.StructType(fields)
 
     return build(root, schema)
+
+
+def ingest_json_archive(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    json_col: str = "json",
+    id_col: str = "event_id",
+    schema: T.StructType | None = None,
+    n_buckets: int = 16,
+) -> dict:
+    """On-disk clp_s archive analog: typed records routed to per-schema
+    buckets + the encoded string store + shared dictionaries + a manifest
+    (reference ArchiveWriter.cpp:257-268 per-schema tables;
+    ColumnWriter.cpp ClpString/VarString dictionaries).
+
+    Sinks under out_dir:
+      records/        typed rows, partitioned by schema_bucket
+                      (pmod(schema_id, n_buckets) — clp_s's one-table-per-
+                      schema becomes hash-bucketed partitions, same
+                      shuffle-free fan-out as the message store)
+      json_strings/   (id, path, kind, logtype_id, encoded_vars)
+      logtype_dict/ var_dict/
+      _manifest.json  row/schema counts
+    Same staging + atomic-rename commit discipline as plans/ingest.py.
+    """
+    import json as _json
+    import os
+    import shutil as _sh
+
+    if schema is None:
+        schema = infer_json_schema(spark, df, json_col)
+    parsed = with_schema_id(parse_json(df, json_col, schema), schema)
+    store = json_string_store(parsed, schema, id_col=id_col)
+    encoded = encode_json_strings(store, id_col=id_col).persist()
+    lt, vd = json_string_dicts(encoded)
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def commit(write_fn, step):
+        staging = os.path.join(out_dir, "_staging", step)
+        final = os.path.join(out_dir, step)
+        _sh.rmtree(staging, ignore_errors=True)
+        _sh.rmtree(final, ignore_errors=True)
+        write_fn(staging)
+        os.makedirs(os.path.dirname(final), exist_ok=True)
+        os.replace(staging, final)
+
+    records = parsed.withColumn(
+        "schema_bucket", F.pmod(F.col("schema_id"), F.lit(n_buckets)).cast("int")
+    )
+    commit(
+        lambda d: records.sortWithinPartitions("schema_bucket")
+        .write.mode("overwrite").partitionBy("schema_bucket").parquet(d),
+        "records",
+    )
+    commit(
+        lambda d: encoded.select(
+            id_col, "path", "kind", "logtype_id", "encoded_vars"
+        ).write.mode("overwrite").parquet(d),
+        "json_strings",
+    )
+    commit(lambda d: lt.write.mode("overwrite").parquet(d), "logtype_dict")
+    commit(lambda d: vd.write.mode("overwrite").parquet(d), "var_dict")
+    encoded.unpersist()
+
+    n_records = spark.read.parquet(os.path.join(out_dir, "records")).count()
+    n_schemas = (
+        spark.read.parquet(os.path.join(out_dir, "records"))
+        .select("schema_id").distinct().count()
+    )
+    manifest = {"n_records": n_records, "n_schemas": n_schemas}
+    with open(os.path.join(out_dir, "_manifest.json"), "w") as f:
+        _json.dump(manifest, f, indent=2, sort_keys=True)
+    return manifest
+
+
+def search_json_archive(spark: SparkSession, out_dir: str, query: str, **kw) -> DataFrame:
+    """Wildcard search inside a written JSON archive's encoded strings."""
+    import os
+
+    enc = spark.read.parquet(os.path.join(out_dir, "json_strings"))
+    lt = spark.read.parquet(os.path.join(out_dir, "logtype_dict"))
+    vd = spark.read.parquet(os.path.join(out_dir, "var_dict"))
+    from .grep import search
+
+    return search(
+        enc.select("event_id", "path", "logtype_id", "encoded_vars"),
+        lt, vd, query, key_cols=("event_id", "path"), **kw,
+    )

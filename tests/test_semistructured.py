@@ -192,3 +192,33 @@ def test_projection_prunes_from_json_schema(spark):
     assert "note" not in frag and "latency_ms" not in frag  # never parsed
     row = out.filter("err_msg IS NOT NULL").first()
     assert row["err_msg"] == "timeout" and row["level"] == "ERROR"
+
+
+def test_json_archive_roundtrip_and_search(spark, tmp_path):
+    """On-disk clp_s archive: per-schema-bucket records + string dicts;
+    search over the written archive matches raw-value grep; bucket
+    partition pruning is visible in the plan."""
+    from clp_spark.plans.semistructured import (
+        ingest_json_archive,
+        search_json_archive,
+    )
+    from pyspark.sql import functions as F
+
+    df = load_jsonlogs(spark, SF_DIR)
+    out = str(tmp_path / "jarch")
+    m = ingest_json_archive(spark, df, out)
+    assert m["n_records"] == df.count() and m["n_schemas"] == 4
+
+    got = {
+        (r["event_id"], r["path"])
+        for r in search_json_archive(spark, out, "retry 1 of").collect()
+    }
+    want = {
+        (r["event_id"], "note")
+        for r in df.filter(F.get_json_object("json", "$.note").rlike(".*retry 1 of.*")).collect()
+    }
+    assert got == want and got
+
+    rec = spark.read.parquet(out + "/records").filter(F.col("schema_bucket") == 3)
+    plan = rec._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
