@@ -265,14 +265,23 @@ def run_scaling() -> dict | None:
     eff = effs[(len(effs) - 1) // 2]
     best_lo = max((lo for lo, _ in runs), key=lambda r: r["turns_per_sec"])
     best_hi = max((hi for _, hi in runs), key=lambda r: r["turns_per_sec"])
-    return {
+    pf = preflight_scaling()
+    out = {
         "cpus_lo": SCALE_LO, "tp_lo": best_lo["turns_per_sec"], "sec_lo": best_lo["sec"],
         "cpus_hi": SCALE_HI, "tp_hi": best_hi["turns_per_sec"], "sec_hi": best_hi["sec"],
         "turns": best_lo["turns"],
         "pair_efficiencies": [round(e, 3) for e in effs],
         "efficiency": round(eff, 3),
-        "preflight": preflight_scaling(),
+        "preflight": pf,
     }
+    if pf and pf.get("efficiency"):
+        # the job's scaling relative to what the BOX could scale in the same
+        # window (the preflight is pure numpy/Arrow encode, no Spark): >=1
+        # means the pipeline adds no serial bottleneck beyond the hardware
+        # envelope. Secondary, labeled; `efficiency` above stays the raw
+        # criterion number.
+        out["efficiency_vs_box"] = round(eff / pf["efficiency"], 3)
+    return out
 
 
 def main() -> None:

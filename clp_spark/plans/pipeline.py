@@ -422,6 +422,32 @@ def parse_encode_with_schema(
     ).drop("_enc")
 
 
+# Bounded broadcast cache for the dictmap decode: repeated searches in one
+# session reuse the shipped dictionary maps instead of leaking one broadcast
+# per query. Keyed by a content fingerprint (sizes + boundary ids) — cheap,
+# and collision-safe in practice since dictionaries are content-hashed.
+_BC_CACHE: dict = {}
+_BC_CACHE_MAX = 4
+
+
+def _dict_broadcast(spark, lt_map: dict, vd_map: dict):
+    def fp(m: dict):
+        it = iter(m.items())
+        head = tuple(x for x, _ in zip(it, range(3)))
+        return (len(m), head, sum(m.keys()) & ((1 << 64) - 1))
+
+    key = (fp(lt_map), fp(vd_map))
+    hit = _BC_CACHE.get(key)
+    if hit is not None:
+        return hit
+    if len(_BC_CACHE) >= _BC_CACHE_MAX:
+        _, old = _BC_CACHE.popitem()
+        old.unpersist()
+    bc = spark.sparkContext.broadcast((lt_map, vd_map))
+    _BC_CACHE[key] = bc
+    return bc
+
+
 def decode_messages_dictmap(
     spark,
     messages: DataFrame,
@@ -444,7 +470,7 @@ def decode_messages_dictmap(
     """
     lt_map = {int(i): s for i, s in logtype_rows}
     vd_map = {int(i): s for i, s in var_rows}
-    bc = spark.sparkContext.broadcast((lt_map, vd_map))
+    bc = _dict_broadcast(spark, lt_map, vd_map)
 
     has_ts = "ts" in messages.columns and "ts" not in key_cols
     passthrough = list(key_cols) + (["ts"] if has_ts else [])
