@@ -265,19 +265,29 @@ def _analyze(joined: bytes, buf: np.ndarray, row_start: np.ndarray, n: int) -> _
         a.empty = True
         return a
 
-    # --- per-token predicates (prefix-sum gathers) ------------------------
+    # --- per-token predicates ---------------------------------------------
+    # digit counts come from a prefix sum (cdig is ALSO needed per-position
+    # for float exponent assembly below); the other four class counts use
+    # segment reduceat over the token spans — an int32 scratch pass instead
+    # of an int64 cumsum per class (~2x less memory traffic each, and this
+    # encoder is bandwidth-bound before it is compute-bound).
     cdig = _prefix(_IS_DIGIT, buf)
-    calp = _prefix(_IS_ALPHA, buf)
-    chex = _prefix(_IS_HEX, buf)
-    cdot = _prefix(_IS_DOT, buf)
-    cmin = _prefix(_IS_MINUS, buf)
-
     tlen = tok_e - tok_s
     ndig = cdig[tok_e] - cdig[tok_s]
-    nalp = calp[tok_e] - calp[tok_s]
-    nhex = chex[tok_e] - chex[tok_s]
-    ndot = cdot[tok_e] - cdot[tok_s]
-    nmin = cmin[tok_e] - cmin[tok_s]
+
+    bounds = np.empty(2 * len(tok_s), dtype=np.int64)
+    bounds[0::2] = tok_s
+    bounds[1::2] = tok_e
+    scratch = np.zeros(nb + 1, dtype=np.int32)
+
+    def seg_count(cls: np.ndarray) -> np.ndarray:
+        scratch[:nb] = cls[buf]
+        return np.add.reduceat(scratch, bounds)[0::2]
+
+    nalp = seg_count(_IS_ALPHA)
+    nhex = seg_count(_IS_HEX)
+    ndot = seg_count(_IS_DOT)
+    nmin = seg_count(_IS_MINUS)
 
     prev_eq = np.zeros(len(tok_s), dtype=bool)
     nz = tok_s > 0
