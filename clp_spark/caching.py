@@ -21,6 +21,58 @@ from collections import OrderedDict
 
 from pyspark.sql import DataFrame
 
+# ---------------------------------------------------------------------------
+# Session-cache registry. Every dictionary-derived cache in the package
+# (collected dict rows in plans/grep.py, per-archive rows in plans/ingest.py,
+# dict broadcasts in plans/pipeline.py) registers a clear function here, and
+# the ingest paths call invalidate_dict_caches() after committing sinks —
+# re-ingesting into the same paths within one session therefore can never
+# serve stale dictionaries (plan-text / path cache keys stay identical across
+# a rewrite, so without this hook a re-ingest silently reuses old entries).
+# ---------------------------------------------------------------------------
+_DICT_CACHE_CLEARERS: list = []
+
+
+def register_dict_cache(clear_fn) -> None:
+    _DICT_CACHE_CLEARERS.append(clear_fn)
+
+
+def invalidate_dict_caches() -> None:
+    """Clear every registered dictionary-derived cache (collected rows,
+    broadcasts). Called by ingest()/ingest_json_archive after sink commit."""
+    for fn in list(_DICT_CACHE_CLEARERS):
+        fn()
+
+
+class RowsCache:
+    """Bounded LRU for driver-side collected values (dictionary rows).
+
+    One implementation behind the previously-parallel caches in
+    plans/grep.py (plan-keyed) and plans/ingest.py (path-keyed); both now
+    clear together via the registry above."""
+
+    def __init__(self, max_items: int = 8):
+        self.max_items = max_items
+        self._store: OrderedDict = OrderedDict()
+        register_dict_cache(self.clear)
+
+    def get_or_load(self, key, loader):
+        """Return the cached value for `key`, loading (and caching) on miss.
+        key=None bypasses the cache entirely (e.g. Spark Connect fallback)."""
+        if key is None:
+            return loader()
+        hit = self._store.get(key)
+        if hit is not None:
+            self._store.move_to_end(key)
+            return hit
+        while len(self._store) >= self.max_items:
+            self._store.popitem(last=False)
+        value = self._store[key] = loader()
+        return value
+
+    def clear(self) -> None:
+        self._store.clear()
+
 
 class PlanCache:
     def __init__(self, max_items: int = 3):

@@ -354,8 +354,10 @@ def simhash_neardup_pairs(
     offs = np.concatenate(([0], np.cumsum(widths[:-1]))).tolist()
     sk = simhash_sketches(df, text_col, id_col)
     band_exprs = [
+        # w == 64 (bands=1, i.e. max_hamming=0): the full-width mask does not
+        # fit LongType as an unsigned literal — use signed -1 (all 64 bits set).
         F.shiftrightunsigned(F.col("simhash"), int(o)).bitwiseAND(
-            F.lit((1 << w) - 1).cast("bigint")
+            F.lit(-1 if w == 64 else (1 << w) - 1).cast("bigint")
         )
         for o, w in zip(offs, widths)
     ]

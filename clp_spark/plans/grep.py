@@ -274,15 +274,20 @@ def var_sequence_filter(needles: list[list[int]]):
 # per-archive dictionaries resident across queries too, clp/streaming_archive/
 # reader/Archive.cpp:163-195). Keyed by the ANALYZED-plan text of the dict
 # DataFrame: same source -> same key across repeated query construction.
-# Bounded; cleared with clear_dict_cache() after re-ingesting into the same
-# paths within one session.
-_DICT_CACHE: dict = {}
-_DICT_CACHE_MAX = 8
+# One shared RowsCache implementation (clp_spark/caching.py), registry-
+# cleared automatically when ingest() rewrites sinks in-session.
+from ..caching import RowsCache
+
+_DICT_CACHE = RowsCache(max_items=8)
 _TOO_BIG = object()  # sentinel: var dict exceeds DICT_BROADCAST_LIMIT
 
 
 def clear_dict_cache() -> None:
-    _DICT_CACHE.clear()
+    """Clear ALL registered dictionary caches (rows + broadcasts), not just
+    this module's — kept as the public invalidation entry point."""
+    from ..caching import invalidate_dict_caches
+
+    invalidate_dict_caches()
 
 
 def _plan_key(df: DataFrame) -> str | None:
@@ -293,14 +298,7 @@ def _plan_key(df: DataFrame) -> str | None:
 
 
 def _cached(df: DataFrame, loader):
-    key = _plan_key(df)
-    if key is None:
-        return loader()
-    if key not in _DICT_CACHE:
-        if len(_DICT_CACHE) >= _DICT_CACHE_MAX:
-            _DICT_CACHE.pop(next(iter(_DICT_CACHE)))
-        _DICT_CACHE[key] = loader()
-    return _DICT_CACHE[key]
+    return _DICT_CACHE.get_or_load(_plan_key(df), loader)
 
 
 def _collect_lt_rows(logtype_dict: DataFrame) -> list:

@@ -129,6 +129,7 @@ def ingest(
     manifest["dataset"] = dataset
     manifest["tags"] = sorted(tags)
     steps = manifest["steps"]
+    resumed_steps = set(steps)
     step_secs = manifest["metrics"].setdefault("step_secs", {})
     t_start = time.time()
 
@@ -311,6 +312,14 @@ def ingest(
         manifest["metrics"]["compression_ratio"] = round(unc / archive_bytes, 3)
     manifest["metrics"]["wall_sec"] = round(time.time() - t_start, 3)
     _write_manifest(out_dir, manifest)
+    if set(steps) - resumed_steps:
+        # Sinks changed: drop every session dictionary cache (collected rows
+        # + broadcasts) so a re-ingest into the same paths can never serve
+        # stale dictionaries to search()/decode (cache keys are plan-text /
+        # path based and identical across a rewrite).
+        from ..caching import invalidate_dict_caches
+
+        invalidate_dict_caches()
     return manifest
 
 
@@ -379,7 +388,9 @@ def decode_archive(spark: SparkSession, out_dir: str) -> DataFrame:
     return P.decode_messages(msgs, lt, vd)
 
 
-_DICT_CACHE: dict = {}
+from ..caching import RowsCache
+
+_DICT_CACHE = RowsCache(max_items=8)
 
 
 def select_archives(
@@ -449,10 +460,9 @@ def search_archives(
 
     # Per-archive-set dictionary cache: archives are immutable snapshots, so
     # repeated queries skip the collect (the reference keeps per-archive
-    # dictionaries resident across searches too). Bounded LRU-ish.
-    key = tuple(dirs)
-    cached = _DICT_CACHE.get(key)
-    if cached is None:
+    # dictionaries resident across searches too). Shared RowsCache — cleared
+    # automatically when ingest() rewrites an archive in-session.
+    def load_rows():
         from .grep import _TOO_BIG, DICT_BROADCAST_LIMIT
 
         lt_rows = [(r["logtype_id"], r["logtype"]) for r in lt.collect()]
@@ -462,10 +472,9 @@ def search_archives(
             if len(sample) <= DICT_BROADCAST_LIMIT
             else _TOO_BIG  # search() then uses DISTRIBUTED dict lookups
         )
-        if len(_DICT_CACHE) >= 8:
-            _DICT_CACHE.pop(next(iter(_DICT_CACHE)))
-        cached = _DICT_CACHE[key] = (lt_rows, vd_rows)
-    lt_rows, vd_rows = cached
+        return (lt_rows, vd_rows)
+
+    lt_rows, vd_rows = _DICT_CACHE.get_or_load(tuple(dirs), load_rows)
 
     return search(
         msgs, lt, vd, query,

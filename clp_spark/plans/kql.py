@@ -475,8 +475,10 @@ def _one_path_filter(df, path, op, value, quoted) -> Column:
                 )
                 if quoted:
                     # NarrowTypes: a QUOTED literal is string-typed only; a
-                    # numeric column has no string interpretation -> False
-                    return F.lit(not neg) if neg else F.lit(False)
+                    # numeric column has no string interpretation -> False for
+                    # EQ. For NEQ keep the NEQ-requires-existence semantics
+                    # (col != lit excludes nulls), so null/absent stays out.
+                    return col.isNotNull() if neg else F.lit(False)
                 return (col != lit) if neg else (col == lit)
         base = col.cast("string") == F.lit(value)
         return ~base if neg else base

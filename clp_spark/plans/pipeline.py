@@ -426,8 +426,21 @@ def parse_encode_with_schema(
 # session reuse the shipped dictionary maps instead of leaking one broadcast
 # per query. Keyed by a content fingerprint (sizes + boundary ids) — cheap,
 # and collision-safe in practice since dictionaries are content-hashed.
+# Registered with the shared cache registry: cleared (broadcasts unpersisted)
+# when ingest() rewrites sinks in-session.
 _BC_CACHE: dict = {}
 _BC_CACHE_MAX = 4
+
+
+def _clear_bc_cache() -> None:
+    while _BC_CACHE:
+        _, old = _BC_CACHE.popitem()
+        old.unpersist()
+
+
+from ..caching import register_dict_cache as _register_dict_cache  # noqa: E402
+
+_register_dict_cache(_clear_bc_cache)
 
 
 def _dict_broadcast(spark, lt_map: dict, vd_map: dict):

@@ -64,10 +64,55 @@ def infer_json_schema(
     The earlier implementation round-tripped the ENTIRE corpus through a
     Python RDD purely to infer a schema — a full extra pass at Python
     speed at 100 TB.
+
+    Coverage assumption: every key appears within the first `sample_rows`
+    rows of the input (or is supplied via `prior`). For archive ingest —
+    where a silently-dropped late key would be data loss in the on-disk
+    sink — use :func:`infer_json_schema_partitioned`, which samples every
+    partition.
     """
     sample = [r[0] or "{}" for r in df.select(json_col).limit(sample_rows).collect()]
     inferred = spark.read.json(
         spark.sparkContext.parallelize(sample or ["{}"], 1)
+    ).schema
+    return merge_schemas(prior, inferred) if prior is not None else inferred
+
+
+def infer_json_schema_partitioned(
+    spark: SparkSession,
+    df: DataFrame,
+    json_col: str,
+    per_partition: int = 1024,
+    prior: T.StructType | None = None,
+) -> T.StructType:
+    """Distributed schema-tree growth: per-PARTITION sampling + merge.
+
+    One narrow Arrow pass takes the first `per_partition` raw JSON strings
+    from EVERY partition (schema drift usually arrives with new
+    files/partitions over time, which a single global LIMIT never sees),
+    Spark's JSON inference runs over the union of samples, and the result
+    union-merges with `prior`. Coverage assumption (documented, per the
+    archive-ingest contract): every key appears within the first
+    `per_partition` rows of at least one partition; corpora with rarer keys
+    must pass an explicit schema or maintain a `prior` registry across
+    batches (the reference MST absorbs every record during its native parse
+    — clp_s/SchemaTree.hpp:32-46)."""
+
+    def run(batches):
+        import pyarrow as pa
+
+        left = per_partition  # mapInArrow: one generator per PARTITION
+        for b in batches:
+            if left <= 0:
+                return
+            m = min(left, b.num_rows)
+            left -= m
+            yield pa.RecordBatch.from_arrays([b.column(0).slice(0, m)], ["j"])
+
+    sampled = df.select(F.col(json_col).alias("j")).mapInArrow(run, "j string")
+    rows = [r["j"] or "{}" for r in sampled.collect()]
+    inferred = spark.read.json(
+        spark.sparkContext.parallelize(rows or ["{}"], max(1, len(rows) // 8192))
     ).schema
     return merge_schemas(prior, inferred) if prior is not None else inferred
 
@@ -209,15 +254,6 @@ VARSTRING_LOGTYPE = "\x12"
 VARSTRING_LOGTYPE_ID = _hash64_str(VARSTRING_LOGTYPE)
 
 
-@F.pandas_udf(T.LongType())
-def _hash64_udf(s):
-    import pandas as pd
-
-    from clp_spark.functions.hash64 import hash64_series
-
-    return pd.Series(hash64_series(s), index=s.index)
-
-
 def string_leaf_paths(schema: T.StructType) -> list[str]:
     """String-typed leaf paths subject to the clp_s string typing rule
     (timestamp-named keys are excluded — they type as dates)."""
@@ -259,42 +295,116 @@ def json_string_store(
 
 
 def encode_json_strings(store: DataFrame, id_col: str = "event_id") -> DataFrame:
-    """Apply the clp_s string typing rule and encode.
+    """Apply the clp_s string typing rule and encode — in ONE pass.
 
-    ClpString rows (value contains a space) run the full CLP parse UDF;
+    ClpString rows (value contains a space) run the full CLP parse;
     VarString rows become the "\\x12" pseudo-template with the whole value
     as a single dictionary variable (id = content hash — the same var-dict
     id space as ClpString variables, so one dictionary serves both).
     Output columns: (id, path, kind, logtype, logtype_id, var_types,
     dict_vars, dict_var_ids, encoded_vars).
-    """
-    from . import pipeline as P
 
-    is_clp = F.col("value").contains(" ")
-    clp = (
-        P.parse_encode(store.filter(is_clp), text_col="value")
-        .withColumn("kind", F.lit("clp"))
+    The typing split happens INSIDE one mapInArrow pass (each input batch
+    yields a ClpString output batch and a VarString output batch), so the
+    upstream store — typically an un-persisted from_json parse of the whole
+    corpus — is scanned exactly once. The previous design unioned two
+    filtered branches, which recomputed that parse twice on materialization.
+    Row order changes (irrelevant: every consumer aggregates or joins).
+    """
+    in_names = [f.name for f in store.schema.fields]
+    id_idx = in_names.index(id_col)
+    path_idx = in_names.index("path")
+    val_idx = in_names.index("value")
+    out_schema = T.StructType(
+        [
+            store.schema[id_col],
+            T.StructField("path", T.StringType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("logtype", T.StringType()),
+            T.StructField("logtype_id", T.LongType()),
+            T.StructField("var_types", T.ArrayType(T.IntegerType())),
+            T.StructField("dict_vars", T.ArrayType(T.StringType())),
+            T.StructField("dict_var_ids", T.ArrayType(T.LongType())),
+            T.StructField("encoded_vars", T.ArrayType(T.LongType())),
+        ]
     )
-    var = (
-        store.filter(~is_clp)
-        .withColumn("vid", _hash64_udf("value"))
-        .select(
-            id_col,
-            "path",
-            F.lit("var").alias("kind"),
-            F.lit(VARSTRING_LOGTYPE).alias("logtype"),
-            F.lit(VARSTRING_LOGTYPE_ID).alias("logtype_id"),
-            F.array(F.lit(18)).alias("var_types"),
-            F.array("value").alias("dict_vars"),
-            F.array("vid").alias("dict_var_ids"),
-            F.array("vid").alias("encoded_vars"),
-        )
-    )
-    cols = [
-        id_col, "path", "kind", "logtype", "logtype_id",
-        "var_types", "dict_vars", "dict_var_ids", "encoded_vars",
-    ]
-    return clp.select(*cols).unionByName(var.select(*cols))
+    names = [f.name for f in out_schema.fields]
+
+    def run(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from clp_spark.functions.hash64 import hash64_spans
+        from clp_spark.functions.tokenizer_vec import encode_full_arrow
+
+        for b in batches:
+            value = b.column(val_idx)
+            if len(value) == 0:
+                continue
+            mask = pc.fill_null(pc.match_substring(value, " "), False).to_numpy(
+                zero_copy_only=False
+            )
+
+            idx_clp = np.flatnonzero(mask)
+            if len(idx_clp):
+                take = pa.array(idx_clp)
+                enc = encode_full_arrow(pc.take(value, take))
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pc.take(b.column(id_idx), take),
+                        pc.take(b.column(path_idx), take),
+                        pa.array(np.full(len(idx_clp), "clp", dtype=object)),
+                        enc["logtype"],
+                        enc["logtype_id"],
+                        enc["var_types"],
+                        enc["dict_vars"],
+                        enc["dict_var_ids"],
+                        enc["encoded_vars"],
+                    ],
+                    names,
+                )
+
+            idx_var = np.flatnonzero(~mask)
+            if len(idx_var):
+                take = pa.array(idx_var)
+                vals = pc.take(value, take)
+                if isinstance(vals, pa.ChunkedArray):
+                    vals = vals.combine_chunks()
+                # hash each value's UTF-8 bytes straight from the Arrow
+                # buffers (no Python str objects)
+                big = vals.cast(pa.large_string())
+                bufs = big.buffers()
+                raw = bufs[2]
+                obuf = (
+                    np.frombuffer(raw, dtype=np.uint8, count=raw.size)
+                    if raw is not None
+                    else np.zeros(0, dtype=np.uint8)
+                )
+                offs = np.frombuffer(bufs[1], dtype=np.int64)[
+                    big.offset : big.offset + len(big) + 1
+                ]
+                vids = pa.array(hash64_spans(obuf, offs[:-1], offs[1:]), type=pa.int64())
+                k = len(idx_var)
+                offs1 = pa.array(np.arange(k + 1, dtype=np.int32))
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pc.take(b.column(id_idx), take),
+                        pc.take(b.column(path_idx), take),
+                        pa.array(np.full(k, "var", dtype=object)),
+                        pa.array(np.full(k, VARSTRING_LOGTYPE, dtype=object)),
+                        pa.array(np.full(k, VARSTRING_LOGTYPE_ID, dtype=np.int64)),
+                        pa.ListArray.from_arrays(
+                            offs1, pa.array(np.full(k, 18, dtype=np.int32))
+                        ),
+                        pa.ListArray.from_arrays(offs1, vals.cast(pa.string())),
+                        pa.ListArray.from_arrays(offs1, vids),
+                        pa.ListArray.from_arrays(offs1, vids),
+                    ],
+                    names,
+                )
+
+    return store.mapInArrow(run, schema=out_schema)
 
 
 def json_string_dicts(encoded: DataFrame):
@@ -456,7 +566,11 @@ def ingest_json_archive(
     import shutil as _sh
 
     if schema is None:
-        schema = infer_json_schema(spark, df, json_col)
+        # archive ingest: a key the sample misses is silently ABSENT from
+        # the on-disk records table and string store — use the per-partition
+        # sampler (coverage assumption documented there), not the global
+        # first-N sample.
+        schema = infer_json_schema_partitioned(spark, df, json_col)
     parsed = with_schema_id(parse_json(df, json_col, schema), schema)
     store = json_string_store(parsed, schema, id_col=id_col)
     encoded = encode_json_strings(store, id_col=id_col).persist()
@@ -499,6 +613,11 @@ def ingest_json_archive(
     manifest = {"n_records": n_records, "n_schemas": n_schemas}
     with open(os.path.join(out_dir, "_manifest.json"), "w") as f:
         _json.dump(manifest, f, indent=2, sort_keys=True)
+    # sinks rewritten: stale collected/broadcast dictionaries must not
+    # survive a same-path re-ingest within this session
+    from ..caching import invalidate_dict_caches
+
+    invalidate_dict_caches()
     return manifest
 
 

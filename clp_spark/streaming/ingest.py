@@ -18,9 +18,11 @@ delivered at least once; EVERY sink write is idempotent per batch id —
     atomic rename — a redelivered batch overwrites its own delta, so there
     is NO crash window between sink commits and the manifest: the manifest
     is bookkeeping, not a correctness fence); reads aggregate
-    base ∪ live deltas; periodic compaction folds deltas into the base and
-    records the folded batch ids in the base metadata, so a crash between
-    base swap and delta cleanup cannot double count.
+    base ∪ live deltas; periodic compaction writes a NEW uuid-named base dir
+    and commits it with one atomic rename of _base_meta.json, which names
+    both the current base dir and the batch ids it folds — so a crash at any
+    point leaves a consistent (base, merged-set) pair and can neither double
+    count a folded delta nor lose the base.
 Per-batch write cost is O(delta) — the previous design rewrote the WHOLE
 dictionary every micro-batch (read-all ∪ delta -> overwrite), which goes
 quadratic over a long-running stream; compaction amortizes the O(total)
@@ -84,11 +86,22 @@ COMPACT_EVERY = 8
 
 
 def _base_meta(sink_dir: str) -> dict:
+    """The sink's commit record: which dir is the current base parquet and
+    which delta batch ids it already folds. Written atomically (os.replace)
+    so base CONTENTS and the merged set commit together — there is no window
+    where a folded delta is both inside the base and still 'live'."""
     p = os.path.join(sink_dir, "_base_meta.json")
     if os.path.exists(p):
         with open(p) as f:
-            return json.load(f)
-    return {"merged_batches": []}
+            meta = json.load(f)
+    else:
+        meta = {"merged_batches": []}
+    if "base_dir" not in meta:
+        # pre-pointer layout (or no base yet): the base, if any, is ./_base
+        meta["base_dir"] = (
+            "_base" if os.path.isdir(os.path.join(sink_dir, "_base")) else None
+        )
+    return meta
 
 
 def _write_base_meta(sink_dir: str, meta: dict) -> None:
@@ -100,12 +113,12 @@ def _write_base_meta(sink_dir: str, meta: dict) -> None:
     os.replace(tmp, p)
 
 
-def _live_delta_ids(sink_dir: str) -> list[int]:
+def _live_delta_ids(sink_dir: str, meta: dict | None = None) -> list[int]:
     """Delta batch ids NOT yet folded into the base."""
     ddir = os.path.join(sink_dir, "_deltas")
     if not os.path.isdir(ddir):
         return []
-    merged = set(_base_meta(sink_dir)["merged_batches"])
+    merged = set((meta or _base_meta(sink_dir))["merged_batches"])
     out = []
     for d in os.listdir(ddir):
         if d.startswith("batch_id="):
@@ -127,11 +140,15 @@ def read_dict_sink(spark: SparkSession, sink_dir: str) -> DataFrame:
     Sink subdir name determines (keys, cnt) via DICT_SINKS."""
     name = os.path.basename(sink_dir.rstrip("/"))
     keys, cnt = DICT_SINKS[name]
+    # One meta read gives a CONSISTENT (base, merged-set) view: the base dir
+    # named here folds exactly the batches listed as merged.
+    meta = _base_meta(sink_dir)
     parts = []
-    base = os.path.join(sink_dir, "_base")
-    if os.path.isdir(base):
-        parts.append(spark.read.parquet(base))
-    for b in _live_delta_ids(sink_dir):
+    if meta["base_dir"]:
+        base = os.path.join(sink_dir, meta["base_dir"])
+        if os.path.isdir(base):
+            parts.append(spark.read.parquet(base))
+    for b in _live_delta_ids(sink_dir, meta):
         parts.append(spark.read.parquet(os.path.join(sink_dir, "_deltas", f"batch_id={b}")))
     if not parts:
         raise FileNotFoundError(f"empty dict sink {sink_dir}")
@@ -144,18 +161,30 @@ def read_dict_sink(spark: SparkSession, sink_dir: str) -> DataFrame:
 def compact_dict_sink(spark: SparkSession, sink_dir: str) -> int:
     """Fold live deltas into the base (amortized O(total) every
     COMPACT_EVERY batches; the streaming analog of the reference's
-    dictionary snapshot writes). Crash-safe ordering: the new base RECORDS
-    the folded batch ids before their delta dirs are removed, so reads
-    never double count a folded delta. Returns #deltas folded."""
-    live = _live_delta_ids(sink_dir)
+    dictionary snapshot writes). The commit point is ONE atomic meta rename
+    (_write_base_meta) that simultaneously points reads at the new base dir
+    AND records the folded batch ids — a crash anywhere leaves either the
+    old (base, merged) view or the new one, never a state where a folded
+    delta double counts or the base is missing. Returns #deltas folded."""
+    meta = _base_meta(sink_dir)
+    live = _live_delta_ids(sink_dir, meta)
     if not live:
         return 0
     merged_df = read_dict_sink(spark, sink_dir)
-    meta = _base_meta(sink_dir)
-    _staged_write(merged_df, os.path.join(sink_dir, "_base"))
-    meta["merged_batches"] = sorted(set(meta["merged_batches"]) | set(live))
-    _write_base_meta(sink_dir, meta)
-    for b in live:  # cleanup; a crash here only leaves ignored dirs behind
+    new_base = f"_base.{uuid.uuid4().hex}"
+    merged_df.write.mode("overwrite").parquet(os.path.join(sink_dir, new_base))
+    old_base = meta["base_dir"]
+    _write_base_meta(
+        sink_dir,
+        {
+            "base_dir": new_base,
+            "merged_batches": sorted(set(meta["merged_batches"]) | set(live)),
+        },
+    )
+    # cleanup; a crash below only leaves ignored (unreferenced) dirs behind
+    if old_base:
+        shutil.rmtree(os.path.join(sink_dir, old_base), ignore_errors=True)
+    for b in live:
         shutil.rmtree(
             os.path.join(sink_dir, "_deltas", f"batch_id={b}"), ignore_errors=True
         )

@@ -166,6 +166,27 @@ def test_archive_selection_and_multi_archive_search(spark, tmp_path):
     assert hits.count() == n1 + n2 > 0
 
 
+def test_reingest_invalidates_dict_caches(spark, tmp_path):
+    """ADVICE r2: re-ingesting into the same path within one session must
+    not serve STALE dictionaries — a search for text that only exists in
+    the second ingest would otherwise be WontMatch-pruned to empty."""
+    from pyspark.sql import functions as F
+
+    arch = str(tmp_path / "arch")
+    t = load_transcripts(spark, SF_DIR)
+    first = t.filter(F.col("turn_idx") < 2)
+    I.ingest(spark, first, arch)
+    # populate every cache layer: search + decode through the archive
+    assert I.search_archives(spark, [arch], "zzqx_sentinel_token").count() == 0
+
+    second = first.withColumn(
+        "text", F.concat(F.lit("zzqx_sentinel_token "), F.col("text"))
+    )
+    I.ingest(spark, second, arch, resume=False)
+    got = I.search_archives(spark, [arch], "zzqx_sentinel_token").count()
+    assert got == first.count()  # stale dictionaries would return 0
+
+
 def test_auto_compaction_by_lineage(spark, tmp_path):
     out = str(tmp_path / "arch_many")
     t = load_transcripts(spark, SF_DIR).repartition(16)  # 16 files per bucket

@@ -73,6 +73,14 @@ def test_implicit_and_and_parens(spark, df):
     assert ids(df, "(level: WARN OR level: INFO) AND latency < 5") == [2]
 
 
+def test_neq_quoted_numeric_excludes_null(spark, df):
+    """ADVICE r2: NEQ of a QUOTED numeric literal against a numeric column
+    must keep NEQ-requires-existence semantics — row 3 (err is null) stays
+    excluded, matching the unquoted branch's (col != lit) null handling."""
+    assert ids(df, 'NOT err.code: "3"') == [1, 2, 4]
+    assert ids(df, 'err.code: "3"') == []  # quoted lit has no numeric reading
+
+
 def test_errors(spark, df):
     with pytest.raises(KqlError):
         parse_kql("")

@@ -146,6 +146,13 @@ def test_simhash_neardup_pairs_pigeonhole(spark):
     assert (1, 3) in pairs and pairs[(1, 3)] > 0
     assert (1, 4) not in pairs and (2, 4) not in pairs
 
+    # ADVICE r2: max_hamming=0 -> bands=1 -> one 64-bit band; the full-width
+    # mask must fit LongType (no NumberFormatException at plan build) and
+    # exact duplicates must still pair up
+    pairs0 = {(r["id_a"], r["id_b"]): r["hamming"]
+              for r in DD.simhash_neardup_pairs(df, max_hamming=0).collect()}
+    assert pairs0 == {(1, 2): 0}
+
 
 def test_real_image_codec_end_to_end(spark, media):
     """REAL decode path: PPM payloads decode to their actual pixels; the

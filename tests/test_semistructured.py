@@ -222,3 +222,53 @@ def test_json_archive_roundtrip_and_search(spark, tmp_path):
     rec = spark.read.parquet(out + "/records").filter(F.col("schema_bucket") == 3)
     plan = rec._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_partitioned_inference_sees_late_keys(spark):
+    """ADVICE r2: archive ingest must not silently drop a key that first
+    appears after the global sample window. Per-partition sampling sees a
+    key that only exists deep in a late partition."""
+    import json as _json
+
+    from clp_spark.plans.semistructured import (
+        infer_json_schema,
+        infer_json_schema_partitioned,
+    )
+
+    rows = [
+        _json.dumps({"a": i} if i < 2600 else {"a": i, "late_key": "x"})
+        for i in range(3000)
+    ]
+    # 4 ordered partitions deterministically: parallelize slices in order
+    rdd = spark.sparkContext.parallelize([(r,) for r in rows], 4)
+    df = spark.createDataFrame(rdd, "json string")
+
+    sampled = infer_json_schema(spark, df, "json")  # first 2048 rows only
+    assert "late_key" not in {f.name for f in sampled.fields}
+    full = infer_json_schema_partitioned(spark, df, "json", per_partition=512)
+    assert "late_key" in {f.name for f in full.fields}
+
+
+def test_encode_json_strings_single_scan(spark):
+    """VERDICT r2 item 7: the typing split must NOT scan the upstream parse
+    twice. The plan contains exactly one scan of the source."""
+    from clp_spark.plans.semistructured import (
+        encode_json_strings,
+        infer_json_schema,
+        json_string_store,
+        parse_json,
+    )
+
+    df = load_jsonlogs(spark, SF_DIR)
+    schema = infer_json_schema(spark, df, "json")
+    store = json_string_store(parse_json(df, "json", schema), schema)
+    encoded = encode_json_strings(store)
+    plan = encoded._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Union" not in plan, plan
+    # kinds follow the typing rule exactly
+    assert encoded.filter("kind = 'clp'").count() > 0
+    assert encoded.filter("kind = 'var' AND size(dict_vars) != 1").count() == 0
+    assert (
+        encoded.filter("kind = 'var' AND dict_vars[0] LIKE '% %'").count() == 0
+    )

@@ -118,10 +118,26 @@ def test_delta_log_writes_are_o_delta_and_replay_safe(spark, tmp_path):
     n = compact_dict_sink(spark, sink)
     assert n == 3 and _live_delta_ids(sink) == []
     # simulate interrupted cleanup: re-create a folded batch's delta dir
-    src = os.path.join(sink, "_base")
+    from clp_spark.streaming.ingest import _base_meta
+
+    src = os.path.join(sink, _base_meta(sink)["base_dir"])
     leftover = os.path.join(sink, "_deltas", "batch_id=1")
     shutil.rmtree(leftover, ignore_errors=True)
     shutil.copytree(src, leftover)
     got2 = {r["logtype"]: r["cnt"] for r in read_dict_sink(spark, sink).collect()}
     assert got2 == got  # folded ids excluded even though the dir exists
+
+    # ADVICE r2 crash window: a crash BETWEEN writing the new base dir and
+    # the atomic meta commit must leave reads on the old consistent view —
+    # an unreferenced _base.<uuid> dir is ignored, totals unchanged.
+    stray = os.path.join(sink, "_base.deadbeefcafef00d")
+    shutil.copytree(src, stray)
+    got3 = {r["logtype"]: r["cnt"] for r in read_dict_sink(spark, sink).collect()}
+    assert got3 == got
+    # and the NEXT compaction (post-recovery, with a fresh live delta)
+    # still produces exact totals
+    write_dict_delta(counts, sink, 3)
+    compact_dict_sink(spark, sink)
+    got4 = {r["logtype"]: r["cnt"] for r in read_dict_sink(spark, sink).collect()}
+    assert got4 == {k: 4 * v for k, v in dict(expected).items()}
     counts.unpersist()
