@@ -128,15 +128,38 @@ def q_count_by_time(spark, sf_dir):
 
 
 def q_roundtrip_mismatches(spark, sf_dir):
+    """Byte-exact round-trip over the whole corpus via the FAST decode path
+    (dictmap: broadcast dictionaries + one Arrow render pass — the
+    reference decompressor's model). The join-based decode_messages stays
+    exercised by pytest (tests/test_plans.py) — coverage belongs there, not
+    in the headline query."""
+    from clp_spark.plans.grep import _TOO_BIG, _collect_lt_rows, _collect_vd_rows
+
     t = load_transcripts(spark, sf_dir)
     parsed = _tracked_persist(P.parse_encode(t))
-    msgs = P.encoded_messages(parsed)
     lt, vd = P.build_logtype_dict(parsed), P.build_var_dict(parsed)
-    dec = P.decode_messages(msgs, lt, vd).withColumnRenamed("text", "dec_text")
-    mism = dec.join(t.select("conv_id", "turn_idx", "text"), ["conv_id", "turn_idx"]).filter(
-        "dec_text != text"
+    lt_rows = _collect_lt_rows(lt)  # session-cached collected dictionaries
+    vd_rows = _collect_vd_rows(vd)
+    if vd_rows is _TOO_BIG:  # dictionaries beyond broadcast: join decode
+        msgs = P.encoded_messages(parsed)
+        dec = P.decode_messages(msgs, lt, vd).withColumnRenamed("text", "dec_text")
+        mism = dec.join(
+            t.select("conv_id", "turn_idx", "text"), ["conv_id", "turn_idx"]
+        ).filter("dec_text != text")
+        return mism.agg(F.count("*").alias("mismatches"))
+    # The original text rides THROUGH the decode as a passthrough column, so
+    # the compare needs NO join: one narrow scan -> Arrow render -> filter ->
+    # partial agg (the reference round-trip verify streams both sides in
+    # order; this is its co-partitioned Spark equivalent).
+    msgs = parsed.select(
+        "conv_id", "turn_idx", F.col("text").alias("orig_text"),
+        "ts", "logtype_id", "encoded_vars",
     )
-    return mism.agg(F.count("*").alias("mismatches"))
+    dec = P.decode_messages_dictmap(
+        spark, msgs, lt_rows, vd_rows,
+        key_cols=("conv_id", "turn_idx", "orig_text"),
+    )
+    return dec.filter("text != orig_text").agg(F.count("*").alias("mismatches"))
 
 
 def _encoded(spark, sf_dir):
@@ -591,6 +614,22 @@ def _query_vec(spark, sf_dir):
     return [float(x) for x in e.filter("vec_id = 0").first()["embedding"]]
 
 
+def q_operator_invariants(spark, sf_dir):
+    """All five signature-operator invariants as ONE oracle-checked row
+    (missed=0, diff=0, bad=0, violations=0, ok=1) — the same proofs as the
+    individual q_*_check queries (still defined above and pytest-run), but
+    occupying one slot of the driver's 50-row correctness window so the
+    freed slots go to oracle-bearing operator queries."""
+    row = (
+        q_lsh_superset_check(spark, sf_dir)
+        .crossJoin(q_simhash_neardup_check(spark, sf_dir))
+        .crossJoin(q_cosine_neardup_check(spark, sf_dir))
+        .crossJoin(q_signature_determinism_check(spark, sf_dir))
+        .crossJoin(q_ann_lsh_exactmatch_check(spark, sf_dir))
+    )
+    return row
+
+
 def q_ann_topk(spark, sf_dir):
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return SIM.cosine_topk(e, _query_vec(spark, sf_dir), k=10)
@@ -653,16 +692,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "langid": q_langid,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
+        # ORDERING CONTRACT (VERDICT r2 item 2): the driver records
+        # correctness rows for only the FIRST 50 queries() entries — every
+        # oracle-bearing query must sit above this comment block; rows-only
+        # (hash-/signature-valued) queries go at the END. The five
+        # signature invariants are folded into ONE oracle row
+        # (operator_invariants) so they occupy one slot, not five.
+        "operator_invariants": q_operator_invariants,
+        "ann_topk": q_ann_topk,
+        # ---- rows-only below (no ANSI-SQL oracle; pytest + the
+        # operator_invariants row above carry their correctness) ----
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "fingerprint": q_fingerprint,
-        "lsh_superset_check": q_lsh_superset_check,
-        "simhash_neardup_check": q_simhash_neardup_check,
-        "cosine_neardup_check": q_cosine_neardup_check,
-        "signature_determinism_check": q_signature_determinism_check,
-        "ann_lsh_exactmatch_check": q_ann_lsh_exactmatch_check,
-        "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "cosine_neardup": q_cosine_neardup,
     }
@@ -1061,11 +1104,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         # invariant companions for the signature-based (rows-only) queries:
         # the PROPERTY is SQL-trivial even though the signatures are not
-        "lsh_superset_check": "SELECT cast(0 as bigint) AS missed",
-        "simhash_neardup_check": "SELECT cast(0 as bigint) AS diff",
-        "cosine_neardup_check": "SELECT cast(0 as bigint) AS bad",
-        "signature_determinism_check": "SELECT cast(0 as bigint) AS violations",
-        "ann_lsh_exactmatch_check": "SELECT 1 AS ok",
+        "operator_invariants": (
+            "SELECT cast(0 as bigint) AS missed, cast(0 as bigint) AS diff, "
+            "cast(0 as bigint) AS bad, cast(0 as bigint) AS violations, 1 AS ok"
+        ),
         # minhash_lsh_dups / simhash / fingerprint / ann_topk_lsh: hash- or
         # signature-based (not ANSI-SQL-expressible) -> driver rows-only check.
     }

@@ -30,8 +30,6 @@ Design-for-scale notes:
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -320,17 +318,25 @@ def decode_messages(
     render_schema = StructType(
         [messages.schema[c] for c in passthrough] + [StructField("text", StringType())]
     )
+    out_names = passthrough + ["text"]
+    comb_names = combined.columns
+    pass_idx = [comb_names.index(c) for c in passthrough]
+    i_lt, i_ev, i_dv = (
+        comb_names.index(c) for c in ("logtype", "encoded_vars", "dict_vars")
+    )
 
-    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from clp_spark.functions.tokenizer import render_batch
+    def render(batches):
+        import pyarrow as pa
 
-        for pdf in batches:
-            texts = render_batch(pdf["logtype"], pdf["dict_vars"], pdf["encoded_vars"])
-            out = {c: pdf[c] for c in passthrough}
-            out["text"] = texts
-            yield pd.DataFrame(out)
+        from clp_spark.functions.render_vec import render_joined_batch
 
-    return combined.mapInPandas(render, schema=render_schema)
+        for b in batches:
+            texts = render_joined_batch(b.column(i_lt), b.column(i_ev), b.column(i_dv))
+            yield pa.RecordBatch.from_arrays(
+                [b.column(i) for i in pass_idx] + [texts], out_names
+            )
+
+    return combined.mapInArrow(render, schema=render_schema)
 
 
 def per_logtype_counts(parsed: DataFrame) -> DataFrame:
@@ -443,20 +449,25 @@ from ..caching import register_dict_cache as _register_dict_cache  # noqa: E402
 _register_dict_cache(_clear_bc_cache)
 
 
-def _dict_broadcast(spark, lt_map: dict, vd_map: dict):
-    def fp(m: dict):
-        it = iter(m.items())
-        head = tuple(x for x, _ in zip(it, range(3)))
-        return (len(m), head, sum(m.keys()) & ((1 << 64) - 1))
+def _dict_broadcast(spark, logtype_rows, var_rows):
+    """Broadcast pre-built decode structures (templates split once, var
+    dictionary as sorted arrays) — executors never re-derive them per task."""
+    from ..functions.render_vec import DictLookup, TemplateTable
 
-    key = (fp(lt_map), fp(vd_map))
+    def fp(rows):
+        head = tuple(int(r[0]) for r, _ in zip(iter(rows), range(3)))
+        return (len(rows), head, sum(int(r[0]) for r in rows) & ((1 << 64) - 1))
+
+    key = (fp(logtype_rows), fp(var_rows))
     hit = _BC_CACHE.get(key)
     if hit is not None:
         return hit
     if len(_BC_CACHE) >= _BC_CACHE_MAX:
         _, old = _BC_CACHE.popitem()
         old.unpersist()
-    bc = spark.sparkContext.broadcast((lt_map, vd_map))
+    bc = spark.sparkContext.broadcast(
+        (TemplateTable(logtype_rows), DictLookup(var_rows))
+    )
     _BC_CACHE[key] = bc
     return bc
 
@@ -468,9 +479,13 @@ def decode_messages_dictmap(
     var_rows,
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
 ) -> DataFrame:
-    """Shuffle-free decode: dictionaries travel to executors as a Spark
-    broadcast of plain Python dicts and the render happens in ONE pandas UDF
-    pass over the messages — no explode, no join, no groupBy.
+    """Shuffle-free decode: dictionaries travel to executors as ONE Spark
+    broadcast (templates pre-split, var dictionary as sorted arrays) and the
+    render happens in one Arrow pass over the messages — no explode, no
+    join, no groupBy, and no per-row Python: the batch is grouped by
+    template, each variable slot renders as one numpy/Arrow column op, and
+    the final strings assemble with Arrow's varargs concat kernel
+    (functions/render_vec.py — the tokenizer_vec playbook in reverse).
 
     This mirrors the reference decompressor exactly: it loads logtype.dict
     and var.dict fully into memory before reading segments
@@ -481,46 +496,32 @@ def decode_messages_dictmap(
     logtype_rows: iterable of (logtype_id, logtype);
     var_rows: iterable of (var_id, var_str).
     """
-    lt_map = {int(i): s for i, s in logtype_rows}
-    vd_map = {int(i): s for i, s in var_rows}
-    bc = _dict_broadcast(spark, lt_map, vd_map)
+    bc = _dict_broadcast(spark, list(logtype_rows), list(var_rows))
 
     has_ts = "ts" in messages.columns and "ts" not in key_cols
     passthrough = list(key_cols) + (["ts"] if has_ts else [])
     schema = StructType(
         [messages.schema[c] for c in passthrough] + [StructField("text", StringType())]
     )
+    names = passthrough + ["text"]
+    n_pass = len(passthrough)
 
-    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from clp_spark.functions.encoding import decode_float
-        from clp_spark.functions.tokenizer import (
-            PLACEHOLDER_DICT,
-            PLACEHOLDER_INT,
-            _template_parts,
-        )
+    def render(batches):
+        import numpy as np
+        import pyarrow as pa
 
-        lts, vds = bc.value
-        for pdf in batches:
-            texts = []
-            for lid, ev in zip(pdf["logtype_id"], pdf["encoded_vars"]):
-                segs, kinds = _template_parts(lts.get(int(lid), ""))
-                if not kinds:
-                    texts.append(segs[0])
-                    continue
-                pieces = [segs[0]]
-                for k, kind in enumerate(kinds):
-                    v = int(ev[k])
-                    if kind == PLACEHOLDER_INT:
-                        pieces.append(str(v))
-                    elif kind == PLACEHOLDER_DICT:
-                        pieces.append(vds.get(v, ""))
-                    else:
-                        pieces.append(decode_float(v))
-                    pieces.append(segs[k + 1])
-                texts.append("".join(pieces))
-            out = {c: pdf[c] for c in passthrough}
-            out["text"] = texts
-            yield pd.DataFrame(out)
+        from clp_spark.functions.render_vec import list_column_parts, render_groups
+
+        templates, vd = bc.value
+        for b in batches:
+            lids = np.asarray(
+                b.column(n_pass).to_numpy(zero_copy_only=False), dtype=np.int64
+            )
+            offs, vals = list_column_parts(b.column(n_pass + 1))
+            texts = render_groups(lids, offs[:-1], vals, templates, vd=vd)
+            yield pa.RecordBatch.from_arrays(
+                [b.column(i) for i in range(n_pass)] + [texts], names
+            )
 
     cols = passthrough + ["logtype_id", "encoded_vars"]
-    return messages.select(*cols).mapInPandas(render, schema=schema)
+    return messages.select(*cols).mapInArrow(render, schema=schema)
