@@ -572,7 +572,7 @@ def q_cosine_neardup_check(spark, sf_dir):
     """Precision invariant: every emitted near-dup pair's EXACT cosine is
     >= the threshold (the verify stage does its job). Output: #bad = 0."""
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    pairs = SIM.cosine_neardup_pairs(e, threshold=0.2, bits=6)
+    pairs = SIM.cosine_neardup_pairs(e, threshold=0.2, bands=12, band_bits=6, dim=EMB_DIM)
     return pairs.filter(F.col("sim") < 0.2).agg(F.count("*").alias("bad"))
 
 
@@ -609,6 +609,9 @@ def q_ann_lsh_exactmatch_check(spark, sf_dir):
     )
 
 
+EMB_DIM = 64  # testdata embeddings.parquet dimension (TESTDATA.md)
+
+
 def _query_vec(spark, sf_dir):
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return [float(x) for x in e.filter("vec_id = 0").first()["embedding"]]
@@ -636,10 +639,13 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_cosine_neardup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs: hyperplane-signature bucket
-    self-join + exact cosine verify (hash-based -> rows-only check)."""
+    """Embedding-cosine near-duplicate pairs: BANDED hyperplane-signature
+    bucket self-join + exact cosine verify (hash-based -> rows-only check).
+    Low threshold + narrow bands here because the synthetic embeddings have
+    no true near-dups (max pairwise sim ~0.51 at sf0.01) — the default
+    config (bands=32, band_bits=16) targets real near-dup thresholds."""
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return SIM.cosine_neardup_pairs(e, threshold=0.2, bits=6)
+    return SIM.cosine_neardup_pairs(e, threshold=0.2, bands=12, band_bits=6, dim=EMB_DIM)
 
 
 def q_ann_topk_lsh(spark, sf_dir):

@@ -74,13 +74,25 @@ def ngram_jaccard_pairs(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_docs_per_shingle: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard >= threshold).
 
     Expressed as shingle explode -> self-equi-join on shingle -> count
     intersections -> jaccard = inter / (|A| + |B| - inter). Distributed
     (no O(n^2) crossJoin): the join only touches docs sharing a shingle.
-    """
+
+    SCALE GUARD (VERDICT r2 item 6): a shingle present in d documents
+    contributes ~d^2/2 join rows — one ultra-hot shingle ("in the", a
+    boilerplate header) goes quadratic on the whole corpus. With
+    `max_docs_per_shingle` set, shingles above that document frequency are
+    excluded from the SELF-JOIN (set sizes stay exact), so reported jaccard
+    becomes a LOWER BOUND: emitted pairs still satisfy true_jaccard >=
+    reported >= threshold (precision exact); only pairs whose support
+    depends on ultra-hot shingles can be missed — and a pair above any
+    useful threshold shares many non-hot shingles. Leave None for the
+    exact/oracle path (small inputs, tests); ALWAYS set it for standalone
+    use at scale (minhash_lsh_pairs is the preferred scale path)."""
     shingles = (
         df.select(
             F.col(id_col).alias("id"),
@@ -95,8 +107,18 @@ def ngram_jaccard_pairs(
         )
     )
     sizes = shingles.groupBy("id").agg(F.count("*").alias("sz"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
+    joinable = shingles
+    if max_docs_per_shingle is not None:
+        hot = (
+            shingles.groupBy("sh")
+            .agg(F.count("*").alias("df_"))
+            .filter(F.col("df_") > max_docs_per_shingle)
+            .select("sh")
+        )
+        # the hot set is tiny by construction (few shingles are ultra-hot)
+        joinable = shingles.join(F.broadcast(hot), "sh", "left_anti")
+    a = joinable.alias("a")
+    b = joinable.alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))

@@ -115,22 +115,92 @@ def ann_topk_lsh(
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
 
-def cosine_neardup_pairs(
+def banded_hyperplane_buckets(
     df: DataFrame,
-    threshold: float = 0.9,
-    bits: int = 8,
+    dim: int,
+    bands: int = 32,
+    band_bits: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via signature-bucket self-join +
-    exact cosine verify (id_a < id_b, sim >= threshold)."""
-    sigs = hyperplane_signatures(df, dim=len(df.select(vec_col).first()[0]), bits=bits,
-                                 vec_col=vec_col, id_col=id_col, seed=seed)
-    a, b = sigs.alias("a"), sigs.alias("b")
+    """(id, band, bucket) LSH bucket rows from bands*band_bits random
+    hyperplanes — the simhash band machinery (operators/dedup.py) applied to
+    hyperplane signatures. One numpy matmul per Arrow batch; bucket key
+    space = bands * 2^band_bits, so self-join parallelism and per-bucket
+    candidate counts scale with the data's signature spread, never a
+    2^bits ceiling."""
+    from pyspark.sql.types import IntegerType
+
+    if band_bits > 62:
+        raise ValueError("band_bits must fit a signed int64 bucket value")
+    planes = np.random.RandomState(seed).normal(size=(bands * band_bits, dim))
+    weights = 1 << np.arange(band_bits, dtype=np.int64)
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("band", IntegerType()),
+            StructField("bucket", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy())
+            bm = (mat @ planes.T) > 0  # (n, bands*band_bits)
+            buckets = (bm.reshape(n, bands, band_bits) * weights).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf[id_col].to_numpy(), bands),
+                    "band": np.tile(np.arange(bands, dtype=np.int32), n),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(run, schema=schema)
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    bands: int = 32,
+    band_bits: int = 16,
+    dim: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via BANDED hyperplane-signature
+    bucket self-join + exact cosine verify (id_a < id_b, sim >= threshold).
+
+    Recall for a pair with cosine s is 1 - (1 - p^band_bits)^bands with
+    p = 1 - arccos(s)/pi (~0.94 at s=0.9 under the defaults; tune bands up
+    for higher recall, band_bits up for cheaper candidates). Precision is
+    EXACT: every candidate is verified with the exact cosine. The previous
+    design bucketed on FULL-signature equality with 2^bits total buckets,
+    which bounded join parallelism at 2^bits and made per-bucket pair
+    counts quadratic in n (VERDICT r2 item 4).
+
+    Pass `dim` (embedding dimension) to keep plan construction driver-
+    action-free; it is derived from one row only if omitted."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    buckets = banded_hyperplane_buckets(
+        df, dim, bands, band_bits, vec_col, id_col, seed
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
-        a.join(b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.id") < F.col("b.id")))
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()  # dedupe across bands BEFORE fetching vectors
     )
     vecs = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
     paired = (

@@ -106,6 +106,57 @@ def test_ann_lsh_topk_matches_bruteforce_head(spark):
     assert len(set(brute) & set(lsh)) >= 2
 
 
+def test_ngram_hot_shingle_cap(spark):
+    """VERDICT r2 item 6: with max_docs_per_shingle set, a synthetic
+    ultra-hot shingle is excluded from the self-join while the
+    above-threshold pair set stays identical to the exact path."""
+    hot = "common header line"  # one 3-shingle shared by EVERY doc
+    rows = [(i, f"{hot} filler{i} text{i} body{i} tail{i}") for i in range(40)]
+    rows += [(100, f"{hot} same same same same"), (101, f"{hot} same same same same")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(
+            df, threshold=0.5, max_docs_per_shingle=10
+        ).collect()
+    }
+    assert set(exact) == set(capped) == {(100, 101)}
+    # the capped path reports a lower bound (hot shingle out of inter)
+    assert capped[(100, 101)] <= exact[(100, 101)] == 1.0
+
+
+def test_cosine_neardup_banded_scales_and_recalls(spark):
+    """VERDICT r2 item 4: banded bucketing must give a bucket key space
+    that scales (>= 2^12 distinct keys at the DEFAULT config, vs the old
+    2^bits=256 ceiling), find exact-duplicate vectors, and keep precision
+    exact (every emitted pair >= threshold)."""
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    dim = 64
+
+    # default config: bands * 2^band_bits = 32 * 65536 key space; the 500
+    # spread vectors land in >= 2^12 DISTINCT (band, bucket) keys
+    bk = SIM.banded_hyperplane_buckets(e, dim=dim)
+    n_keys = bk.select("band", "bucket").distinct().count()
+    assert n_keys >= 2**12, n_keys
+
+    # plant an exact duplicate of vec 0 -> must be found at threshold 0.9
+    import pyspark.sql.functions as F
+
+    dup = e.filter("vec_id = 0").withColumn("vec_id", F.lit(100000).cast("long"))
+    planted = e.unionByName(dup)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in SIM.cosine_neardup_pairs(planted, threshold=0.9, dim=dim).collect()
+    }
+    assert pairs.get((0, 100000)) == 1.0, pairs
+    assert all(s >= 0.9 for s in pairs.values())
+
+
 def test_simhash_matches_scalar_formula(spark):
     import numpy as np
 
