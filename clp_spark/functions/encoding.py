@@ -126,3 +126,104 @@ def decode_float(encoded: int) -> str:
 def decode_int(encoded: int) -> str:
     """Inverse of :func:`encode_int` (canonical form makes str() exact)."""
     return str(int(encoded))
+
+
+# ---------------------------------------------------------------------------
+# Four-byte (compact) variable encodings — the default encoding real CLP IR
+# producers emit. Semantics re-derived (NOT ported) from the reference:
+#   - int: canonical-form string that fits int32
+#     (clp/ffi/encoding_methods.inc encode_integer_string)
+#   - float, 32 bits MSB..LSB: 1 sign | 25 digits-as-int | 3 (#digits-1) |
+#     3 (decimal-pos-from-right-1), <= 8 digits
+#     (clp/ffi/encoding_methods.hpp:55-58, encoding_methods.inc
+#     encode_float_properties four-byte branch)
+#   - lossless promotion 4B -> 8B: re-pack the same properties
+#     (clp/ffi/encoding_methods.cpp encode_four_byte_float_as_eight_byte /
+#     encode_four_byte_integer_as_eight_byte)
+# ---------------------------------------------------------------------------
+
+INT32_MIN = -(2**31)
+INT32_MAX = 2**31 - 1
+FLOAT4_DIGITS_MASK = (1 << 25) - 1
+MAX_FLOAT4_DIGITS = 8
+
+
+def encode_int4(value: str) -> int | None:
+    """Four-byte integer encoding: canonical form AND fits int32."""
+    v = encode_int(value)
+    if v is None or v < INT32_MIN or v > INT32_MAX:
+        return None
+    return v
+
+
+def encode_float4(value: str) -> int | None:
+    """Four-byte float encoding (signed int32 bit pattern), else None."""
+    if not value:
+        return None
+    pos = 0
+    max_length = MAX_FLOAT4_DIGITS + 1  # +1 for the decimal point
+    is_negative = False
+    if value[0] == "-":
+        is_negative = True
+        pos = 1
+        max_length += 1
+    if len(value) > max_length:
+        return None
+
+    num_digits = 0
+    decimal_point_pos = None
+    digits = 0
+    n = len(value)
+    for i in range(pos, n):
+        c = value[i]
+        if "0" <= c <= "9":
+            digits = digits * 10 + (ord(c) - 48)
+            num_digits += 1
+        elif decimal_point_pos is None and c == ".":
+            decimal_point_pos = n - 1 - i
+        else:
+            return None
+    if decimal_point_pos is None or decimal_point_pos == 0 or num_digits == 0:
+        return None
+    if digits > FLOAT4_DIGITS_MASK:
+        return None
+
+    encoded = 1 if is_negative else 0
+    encoded <<= 25
+    encoded |= digits & FLOAT4_DIGITS_MASK
+    encoded <<= 3
+    encoded |= (num_digits - 1) & 0x07
+    encoded <<= 3
+    encoded |= (decimal_point_pos - 1) & 0x07
+    if encoded > INT32_MAX:
+        encoded -= 1 << 32
+    return encoded
+
+
+def four_byte_float_to_eight(encoded4: int) -> int:
+    """Lossless promotion of a four-byte float encoding to the eight-byte
+    encoding (signed int64), matching encode_four_byte_float_as_eight_byte."""
+    u = int(encoded4) & 0xFFFFFFFF
+    decimal_pos = (u & 0x07) + 1
+    u >>= 3
+    num_digits = (u & 0x07) + 1
+    u >>= 3
+    digits = u & FLOAT4_DIGITS_MASK
+    u >>= 25
+    is_negative = u > 0
+
+    encoded = 1 if is_negative else 0
+    encoded <<= 55
+    encoded |= digits & FLOAT_DIGITS_MASK
+    encoded <<= 4
+    encoded |= (num_digits - 1) & 0x0F
+    encoded <<= 4
+    encoded |= (decimal_pos - 1) & 0x0F
+    if encoded > INT64_MAX:
+        encoded -= 1 << 64
+    return encoded
+
+
+def decode_float4(encoded4: int) -> str:
+    """Exact inverse of :func:`encode_float4` (via the 8-byte decoder)."""
+    return decode_float(four_byte_float_to_eight(encoded4))

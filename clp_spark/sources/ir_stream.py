@@ -164,31 +164,51 @@ def deserialize_ir(frames: DataFrame, frame_col: str = "frame") -> DataFrame:
 #     timestamp:     0x30, int64 epoch ms
 #   0x00 (EOF)
 #
-# The eight-byte payload reuses CLP's archive variable encodings and
-# logtype escaping, which this engine already implements bit-exactly
-# (functions/encoding.py, functions/tokenizer.py) — so interop needs only
-# this framing. The four-byte encoding (delta timestamps + 17/31-bit
-# packed variables) is detected and rejected explicitly rather than
-# silently misread.
+# Both payload encodings are supported. The eight-byte payload reuses CLP's
+# archive variable encodings and logtype escaping, which this engine already
+# implements bit-exactly (functions/encoding.py, functions/tokenizer.py).
+# The FOUR-byte (compact) encoding — the default real producers emit — adds:
+#   * delta timestamps (0x31 i8 | 0x32 i16 | 0x33 i32 | 0x34 i64, relative
+#     to the previous event; the first is relative to the metadata's
+#     REFERENCE_TIMESTAMP) — reference encoding_methods.cpp
+#     four_byte_encoding::serialize_timestamp;
+#   * 0x18 + int32 encoded variables (int fits int32; float in the 32-bit
+#     1|25|3|3 property format, functions/encoding.py encode_float4). A
+#     value not representable in four bytes becomes a DICTIONARY variable —
+#     so the SAME message can have a different logtype under each encoding
+#     (encoding_methods.inc encode_message_generically). On read, four-byte
+#     values promote losslessly to the eight-byte encodings
+#     (encode_four_byte_{integer,float}_as_eight_byte), so everything
+#     downstream of the scan is encoding-agnostic.
 # ---------------------------------------------------------------------------
 
 IR_MAGIC_8 = b"\xfd\x2f\xb5\x30"
 IR_MAGIC_4 = b"\xfd\x2f\xb5\x29"
 
+_PH_INT = "\x11"
+_PH_DICT = "\x12"
+_PH_FLOAT = "\x13"
+
 
 def write_ir_stream(
     events,
     *,
+    encoding: str = "eight",
+    reference_timestamp: int = 0,
     timestamp_pattern: str = "%Y-%m-%dT%H:%M:%S.%3",
     timestamp_pattern_syntax: str = "",
     tz_id: str = "UTC",
 ) -> bytes:
-    """Serialize events -> a CLP eight-byte-encoding IR stream.
+    """Serialize events -> a CLP IR stream (eight- or four-byte encoding).
 
     events: iterable of (ts_ms, logtype, var_types, dict_vars, encoded_vars)
-    — exactly the parse_encode output columns.
+    — exactly the parse_encode output columns (eight-byte encodings).
+    With encoding="four", each variable is re-dispatched under the compact
+    rules (int32 / 8-digit float, else dictionary), the logtype placeholders
+    are rewritten accordingly, and timestamps are emitted as deltas.
     """
-    out = [IR_MAGIC_8]
+    four = encoding == "four"
+    out = [IR_MAGIC_4 if four else IR_MAGIC_8]
     meta = {
         "VERSION": "0.0.2",
         "VARIABLES_SCHEMA_ID": "",
@@ -197,6 +217,8 @@ def write_ir_stream(
         "TIMESTAMP_PATTERN_SYNTAX": timestamp_pattern_syntax,
         "TZ_ID": tz_id,
     }
+    if four:
+        meta["REFERENCE_TIMESTAMP"] = str(int(reference_timestamp))
     mb = json.dumps(meta, sort_keys=True).encode("utf-8")
     if len(mb) <= 0xFF:
         out.append(bytes([0x01, 0x11, len(mb)]))
@@ -213,16 +235,68 @@ def write_ir_stream(
             out.append(bytes([tags[2]]) + struct.pack(">i", len(b)))
         out.append(b)
 
+    def put_ts_delta(delta: int):
+        if -(2**7) <= delta <= 2**7 - 1:
+            out.append(b"\x31" + struct.pack(">b", delta))
+        elif -(2**15) <= delta <= 2**15 - 1:
+            out.append(b"\x32" + struct.pack(">h", delta))
+        elif -(2**31) <= delta <= 2**31 - 1:
+            out.append(b"\x33" + struct.pack(">i", delta))
+        else:
+            out.append(b"\x34" + struct.pack(">q", delta))
+
+    last_ts = int(reference_timestamp)
     for ts_ms, logtype, var_types, dict_vars, encoded_vars in events:
+        if not four:
+            di = 0
+            for t, ev in zip(var_types, encoded_vars):
+                if t == VT_DICT:
+                    put_str((0x11, 0x12, 0x13), dict_vars[di].encode("utf-8"))
+                    di += 1
+                else:
+                    out.append(b"\x19" + struct.pack(">q", int(ev)))
+            put_str((0x21, 0x22, 0x23), logtype.encode("utf-8"))
+            out.append(b"\x30" + struct.pack(">q", int(ts_ms)))
+            continue
+
+        # four-byte: re-dispatch each variable under the compact rules and
+        # rebuild the logtype's placeholders to match
+        from ..functions.encoding import (
+            decode_float,
+            encode_float4,
+            encode_int4,
+        )
+        from ..functions.tokenizer import _escape_const, _template_parts
+
+        segs, kinds = _template_parts(logtype)
+        lt_parts = []
         di = 0
-        for t, ev in zip(var_types, encoded_vars):
-            if t == VT_DICT:
-                put_str((0x11, 0x12, 0x13), dict_vars[di].encode("utf-8"))
+        for j, kind in enumerate(kinds):
+            lt_parts.append(_escape_const(segs[j]))
+            k = ord(kind)
+            if k == VT_DICT:
+                s = dict_vars[di]
                 di += 1
+            elif k == 0x11:
+                s = str(int(encoded_vars[j]))
             else:
-                out.append(b"\x19" + struct.pack(">q", int(ev)))
-        put_str((0x21, 0x22, 0x23), logtype.encode("utf-8"))
-        out.append(b"\x30" + struct.pack(">q", int(ts_ms)))
+                s = decode_float(int(encoded_vars[j]))
+            v4 = encode_float4(s)
+            if v4 is not None:
+                lt_parts.append(_PH_FLOAT)
+                out.append(b"\x18" + struct.pack(">i", v4))
+            else:
+                v4 = encode_int4(s)
+                if v4 is not None:
+                    lt_parts.append(_PH_INT)
+                    out.append(b"\x18" + struct.pack(">i", v4))
+                else:
+                    lt_parts.append(_PH_DICT)
+                    put_str((0x11, 0x12, 0x13), s.encode("utf-8"))
+        lt_parts.append(_escape_const(segs[-1]))
+        put_str((0x21, 0x22, 0x23), "".join(lt_parts).encode("utf-8"))
+        put_ts_delta(int(ts_ms) - last_ts)
+        last_ts = int(ts_ms)
     out.append(b"\x00")
     return b"".join(out)
 
@@ -231,16 +305,16 @@ def read_ir_stream(buf: bytes):
     """Parse a CLP IR stream -> (metadata dict, [(ts_ms, logtype, var_types,
     dict_vars, encoded_nums, dict_slots), ...]).
 
-    Accepts the eight-byte encoding; rejects the four-byte encoding with a
-    clear error (its packed variable layout is a different codec)."""
+    Accepts BOTH encodings. Four-byte streams (compact: 0x18 int32 vars,
+    delta timestamps against the metadata REFERENCE_TIMESTAMP) are promoted
+    to the eight-byte value encodings on read — int32 widens, floats re-pack
+    their properties (functions/encoding.four_byte_float_to_eight) — so
+    downstream consumers see one representation."""
+    from ..functions.encoding import four_byte_float_to_eight
     from ..functions.tokenizer import _template_parts
 
-    if buf[:4] == IR_MAGIC_4:
-        raise NotImplementedError(
-            "four-byte-encoding CLP IR is not supported; re-emit with the "
-            "eight-byte encoding"
-        )
-    if buf[:4] != IR_MAGIC_8:
+    four = buf[:4] == IR_MAGIC_4
+    if not four and buf[:4] != IR_MAGIC_8:
         raise ValueError("not a CLP IR stream (bad magic)")
     pos = 4
     if buf[pos] != 0x01:
@@ -258,11 +332,13 @@ def read_ir_stream(buf: bytes):
         raise ValueError(f"bad metadata length tag {tag:#x}")
     metadata = json.loads(buf[pos : pos + mlen].decode("utf-8"))
     pos += mlen
+    last_ts = int(metadata.get("REFERENCE_TIMESTAMP", 0)) if four else 0
 
     _STR_LEN = {
         0x11: ("B", 1), 0x12: (">H", 2), 0x13: (">i", 4),
         0x21: ("B", 1), 0x22: (">H", 2), 0x23: (">i", 4),
     }
+    _TS_DELTA = {0x31: (">b", 1), 0x32: (">h", 2), 0x33: (">i", 4), 0x34: (">q", 8)}
 
     events = []
     dict_vars: list[str] = []
@@ -283,6 +359,10 @@ def read_ir_stream(buf: bytes):
             (v,) = struct.unpack_from(">q", buf, pos)
             pos += 8
             nums.append(v)
+        elif tag == 0x18:  # four-byte encoded variable (raw; kind known at logtype)
+            (v,) = struct.unpack_from(">i", buf, pos)
+            pos += 4
+            nums.append(v)
         elif tag in (0x21, 0x22, 0x23):  # logtype -> finalize vars
             fmtc, n = _STR_LEN[tag]
             ln = buf[pos] if n == 1 else struct.unpack_from(fmtc, buf, pos)[0]
@@ -291,21 +371,39 @@ def read_ir_stream(buf: bytes):
             pos += ln
             ts_tag = buf[pos]
             pos += 1
-            if ts_tag != 0x30:
-                raise ValueError(f"expected TimestampVal after logtype, got {ts_tag:#x}")
-            (ts_ms,) = struct.unpack_from(">q", buf, pos)
-            pos += 8
+            if four:
+                if ts_tag not in _TS_DELTA:
+                    raise ValueError(
+                        f"expected TimestampDelta after logtype, got {ts_tag:#x}"
+                    )
+                fmtd, nd = _TS_DELTA[ts_tag]
+                (delta,) = struct.unpack_from(fmtd, buf, pos)
+                pos += nd
+                ts_ms = last_ts + delta
+                last_ts = ts_ms
+            else:
+                if ts_tag != 0x30:
+                    raise ValueError(
+                        f"expected TimestampVal after logtype, got {ts_tag:#x}"
+                    )
+                (ts_ms,) = struct.unpack_from(">q", buf, pos)
+                pos += 8
             # variable kinds come from the template's placeholders; nums
             # holds dict-vars as None in message order already
             kinds = [ord(k) for k in _template_parts(logtype)[1]]
             slots = []
             d = 0
-            for k in kinds:
+            for i, k in enumerate(kinds):
                 if k == VT_DICT:
                     slots.append(d)
                     d += 1
                 else:
                     slots.append(-1)
+                    if four:  # promote 4B value to the 8B encoding
+                        v4 = nums[i]
+                        nums[i] = (
+                            int(v4) if k == 0x11 else four_byte_float_to_eight(v4)
+                        )
             events.append((ts_ms, logtype, kinds, dict_vars, nums, slots))
             dict_vars, nums = [], []
         else:
@@ -346,3 +444,57 @@ def read_clp_ir(frames: DataFrame, frame_col: str = "payload") -> DataFrame:
 
         src = src.withColumn("stream_idx", _F.monotonically_increasing_id())
     return src.select("stream_idx", frame_col).mapInPandas(run, schema=schema)
+
+
+_IDS_STRUCT = StructType(
+    [
+        StructField("logtype_id", LongType()),
+        StructField("dict_var_ids", ArrayType(LongType())),
+        StructField("encoded_vars", ArrayType(LongType())),
+    ]
+)
+
+
+@F.pandas_udf(_IDS_STRUCT)
+def _ids_udf(
+    logtype: pd.Series, dict_vars: pd.Series, encoded_nums: pd.Series, dict_slots: pd.Series
+) -> pd.DataFrame:
+    from clp_spark.functions.hash64 import add_id_columns
+
+    pdf = add_id_columns(
+        pd.DataFrame(
+            {
+                "logtype": logtype,
+                "dict_vars": dict_vars,
+                "encoded_nums": encoded_nums,
+                "dict_slots": dict_slots,
+            }
+        )
+    )
+    return pdf[["logtype_id", "dict_var_ids", "encoded_vars"]]
+
+
+def ir_messages(ir_rows: DataFrame) -> DataFrame:
+    """read_clp_ir rows -> parse_encode-shaped message rows.
+
+    Content-hash ids come from the SAME hash as the batch parse path
+    (functions/hash64.py), so IR-ingested messages join the same
+    dictionaries and decode with the same machinery. conv_id is the stream
+    id, turn_idx the in-stream event index (the reference's real-time IR
+    ingest unit, clp_s/JsonParser.hpp:82-96); role/tool are absent in IR
+    frames and surface as nulls."""
+    return ir_rows.withColumn(
+        "_ids", _ids_udf("logtype", "var_types", "encoded_nums", "dict_slots")
+    ).select(
+        F.col("stream_idx").cast("string").alias("conv_id"),
+        F.col("event_idx").alias("turn_idx"),
+        F.timestamp_millis(F.col("ts_ms")).alias("ts"),
+        F.lit(None).cast("string").alias("role"),
+        F.lit(None).cast("string").alias("tool"),
+        "logtype",
+        "var_types",
+        "dict_vars",
+        "_ids.logtype_id",
+        "_ids.dict_var_ids",
+        "_ids.encoded_vars",
+    )

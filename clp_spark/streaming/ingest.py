@@ -196,6 +196,44 @@ def compact_all(spark: SparkSession, out_dir: str) -> None:
         compact_dict_sink(spark, os.path.join(out_dir, name))
 
 
+def _sink_parsed_batch(
+    spark: SparkSession,
+    out_dir: str,
+    parsed: DataFrame,
+    batch_id: int,
+    n_buckets: int,
+    compact_every: int,
+) -> int:
+    """Route one parsed micro-batch into all sinks (messages + delta-log
+    dictionaries/counts), idempotently per batch id. `parsed` must carry the
+    parse_encode output columns. Returns the batch's turn count."""
+    parsed = parsed.persist()
+    try:
+        msgs = parsed.withColumn(
+            "logtype_bucket",
+            F.pmod(F.col("logtype_id"), F.lit(n_buckets)).cast("int"),
+        ).select(*MESSAGE_COLUMNS, "logtype_bucket")
+        n = msgs.count()
+        _staged_write(
+            msgs.sortWithinPartitions("logtype_bucket"),
+            os.path.join(out_dir, "messages", f"batch_id={batch_id}"),
+            ["logtype_bucket"],
+        )
+        deltas = {
+            "logtype_dict": P.build_logtype_dict(parsed),
+            "var_dict": P.build_var_dict(parsed),
+            "counts_logtype": P.per_logtype_counts(parsed),
+        }
+        for name, delta in deltas.items():
+            sink = os.path.join(out_dir, name)
+            write_dict_delta(delta, sink, batch_id)
+            if len(_live_delta_ids(sink)) >= compact_every:
+                compact_dict_sink(spark, sink)
+    finally:
+        parsed.unpersist()
+    return n
+
+
 def process_batch(
     spark: SparkSession,
     out_dir: str,
@@ -210,31 +248,9 @@ def process_batch(
         if key in manifest["batches"]:
             return  # re-delivered batch: already fully committed
 
-        parsed = P.parse_encode(batch_df).persist()
-        try:
-            msgs = parsed.withColumn(
-                "logtype_bucket",
-                F.pmod(F.col("logtype_id"), F.lit(n_buckets)).cast("int"),
-            ).select(*MESSAGE_COLUMNS, "logtype_bucket")
-            n = msgs.count()
-            _staged_write(
-                msgs.sortWithinPartitions("logtype_bucket"),
-                os.path.join(out_dir, "messages", f"batch_id={batch_id}"),
-                ["logtype_bucket"],
-            )
-            deltas = {
-                "logtype_dict": P.build_logtype_dict(parsed),
-                "var_dict": P.build_var_dict(parsed),
-                "counts_logtype": P.per_logtype_counts(parsed),
-            }
-            for name, delta in deltas.items():
-                sink = os.path.join(out_dir, name)
-                write_dict_delta(delta, sink, batch_id)
-                if len(_live_delta_ids(sink)) >= compact_every:
-                    compact_dict_sink(spark, sink)
-        finally:
-            parsed.unpersist()
-
+        n = _sink_parsed_batch(
+            spark, out_dir, P.parse_encode(batch_df), batch_id, n_buckets, compact_every
+        )
         manifest["batches"][key] = {"n_turns": n}
         _write_stream_manifest(out_dir, manifest)
 

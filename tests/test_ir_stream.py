@@ -79,8 +79,99 @@ def test_clp_ir_wire_format_roundtrip():
     meta, back = read_ir_stream(buf)
     assert meta["VERSION"] == "0.0.2"
     assert [decode_text(lt, dv, en) for _, lt, _, dv, en, _ in back] == msgs
-    with _pytest.raises(NotImplementedError):
-        read_ir_stream(IR_MAGIC_4 + b"\x00")
+    with _pytest.raises(ValueError):
+        read_ir_stream(b"\x00\x00\x00\x00")
+
+
+def test_clp_ir_four_byte_roundtrip():
+    """Four-byte (compact) encoding round trip — VERDICT r2 item 3: delta
+    timestamps + int32/packed-float vars; values that do not fit four bytes
+    re-dispatch to dictionary vars (a DIFFERENT logtype than the eight-byte
+    stream for the same message, as in the reference); decoded text is
+    byte-identical either way."""
+    from clp_spark.functions.tokenizer import decode_text, encode_text
+    from clp_spark.sources.ir_stream import (
+        IR_MAGIC_4,
+        read_ir_stream,
+        write_ir_stream,
+    )
+
+    msgs = [
+        "used 123 of 45.6 GB in 7.8 seconds conv-9",
+        "big int 123456789012 and big float 123.4567890123456 end",  # 4B-unrepresentable
+        "hello world no vars at all",
+        "negative -42 and -0.5 here",
+    ]
+    # deltas exercising i8 / i16 / i32 / i64 widths
+    tss = [1700000000000, 1700000000100, 1700000100000, 1709999999999]
+    events = []
+    for ts, m in zip(tss, msgs):
+        lt, vt, dv, en = encode_text(m)
+        events.append((ts, lt, list(vt), list(dv), [e if e is not None else 0 for e in en]))
+
+    buf = write_ir_stream(events, encoding="four", reference_timestamp=1700000000000 - 5)
+    assert buf[:4] == IR_MAGIC_4
+    meta, back = read_ir_stream(buf)
+    assert meta["REFERENCE_TIMESTAMP"] == str(1700000000000 - 5)
+    assert [ts for ts, *_ in back] == tss
+    assert [decode_text(lt, dv, en) for _, lt, _, dv, en, _ in back] == msgs
+    # the unrepresentable values became DICT vars in the 4B stream
+    _, lt4, vt4, dv4, _, _ = back[1]
+    assert "123456789012" in dv4 and "123.4567890123456" in dv4
+    # ...but the eight-byte stream for the same message encodes them
+    lt8, vt8, dv8, _ = encode_text(msgs[1])
+    assert "123456789012" not in dv8 and lt4 != lt8
+
+
+def test_four_byte_float_codec_matches_reference_bit_layout():
+    """encode_float4 packs 1|25|3|3 (encoding_methods.inc four-byte branch);
+    promotion to eight-byte decodes identically to the scalar oracle."""
+    from clp_spark.functions.encoding import (
+        decode_float4,
+        encode_float,
+        encode_float4,
+        four_byte_float_to_eight,
+    )
+
+    for s in ["45.6", "-0.5", "12345678.", ".12345678", "-1234567.8", "99.999"]:
+        if s.endswith("."):
+            assert encode_float4(s) is None  # '.' last -> not representable
+            continue
+        v4 = encode_float4(s)
+        assert v4 is not None and -(2**31) <= v4 <= 2**31 - 1
+        assert decode_float4(v4) == s
+        assert four_byte_float_to_eight(v4) == encode_float(s)
+    # 9 digits exceed the four-byte format but fit the eight-byte one
+    assert encode_float4("123456.789") is None and encode_float("123456.789") is not None
+    # digits value above the 25-bit mask is rejected even with <= 8 digits
+    assert encode_float4("9999999.9") is None  # 99999999 > 2^25-1
+
+
+def test_clp_ir_four_byte_reference_layout_vector():
+    """A four-byte stream hand-assembled per the reference protocol: magic
+    FD2FB529, REFERENCE_TIMESTAMP metadata, 0x11 dict var, 0x18 big-endian
+    int32 var, 0x21 logtype, 0x31 delta-i8 timestamp, EOF."""
+    import json
+    import struct
+
+    from clp_spark.functions.tokenizer import decode_text
+    from clp_spark.sources.ir_stream import read_ir_stream
+
+    meta_b = json.dumps({"VERSION": "0.0.2", "REFERENCE_TIMESTAMP": "1000"}).encode()
+    lt = b"job \x11 by \x12 done"
+    vec = (
+        b"\xfd\x2f\xb5\x29"
+        + bytes([0x01, 0x11, len(meta_b)]) + meta_b
+        + b"\x18" + struct.pack(">i", 42)
+        + bytes([0x11, 6]) + b"user-x"
+        + bytes([0x21, len(lt)]) + lt
+        + b"\x31" + struct.pack(">b", -5)
+        + b"\x00"
+    )
+    _, events = read_ir_stream(vec)
+    ts, logtype, vt, dv, en, sl = events[0]
+    assert ts == 995  # 1000 + (-5)
+    assert decode_text(logtype, dv, en) == "job 42 by user-x done"
 
 
 def test_clp_ir_reference_layout_vector():
