@@ -184,20 +184,31 @@ def read_tar_logs(spark, paths) -> DataFrame:
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # One output batch PER MEMBER (generator): peak task memory is one
+        # member's lines, not every line of every tar in the batch — a
+        # multi-gigabyte tar streams through instead of OOMing the task
+        # (the reference reads members one at a time for the same reason,
+        # clp/LibarchiveFileReader.cpp).
         for pdf in batches:
-            rows = []
             for path, content in zip(pdf["path"], pdf["content"]):
                 with tarfile.open(fileobj=io.BytesIO(content)) as tf:
-                    for m in tf.getmembers():
+                    for m in tf:
                         if not m.isreg():
                             continue
                         text = tf.extractfile(m).read().decode("utf-8", "surrogatepass")
                         lines = text.split("\n")
                         if lines and lines[-1] == "":
                             lines.pop()
+                        if not lines:
+                            continue
                         fid = f"{path}!{m.name}"
-                        rows.extend((fid, i, ln) for i, ln in enumerate(lines))
-            yield pd.DataFrame(rows, columns=["file_id", "line_idx", "line"])
+                        yield pd.DataFrame(
+                            {
+                                "file_id": fid,
+                                "line_idx": range(len(lines)),
+                                "line": lines,
+                            }
+                        )
 
     binaries = spark.read.format("binaryFile").load(paths).select("path", "content")
     return binaries.mapInPandas(run, schema=schema)
