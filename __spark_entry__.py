@@ -309,6 +309,30 @@ def q_json_kql_wildcard_key(spark, sf_dir):
     return kql_filter(flat, "err.*: timeout").select("event_id")
 
 
+def q_json_kql_daterange(spark, sf_dir):
+    """clp_s DateString typing + KQL date-range (VERDICT r2 item 5):
+    timestamp-named JSON string keys become TimestampType columns
+    (reference clp_s/JsonParser.cpp:557-583), so date literals engage
+    Catalyst's native timestamp comparisons; unparseable values stay null
+    and are correctly excluded."""
+    from clp_spark.plans.semistructured import (
+        infer_json_schema,
+        parse_json,
+        type_json_dates,
+    )
+    from clp_spark.sources.jsonlogs import load_jsondates
+
+    df = load_jsondates(spark, sf_dir)
+    schema = infer_json_schema(spark, df, "json")
+    typed = type_json_dates(parse_json(df, "json", schema), schema)
+    flat = typed.select("event_id", "rec.*")
+    q = ('meta.level: "ERROR" and meta.timestamp >= date("2016-05-08 07:10:00")'
+         ' and meta.timestamp <= date("2016-05-08 07:40:59")')
+    return kql_filter(flat, q).select(
+        "event_id", F.unix_millis(F.col("meta.timestamp")).alias("ts_ms")
+    )
+
+
 def _json_string_encoded(spark, sf_dir):
     """Encoded JSON string store + dictionaries (clp_s ClpString layer)."""
     from clp_spark.plans.semistructured import (
@@ -685,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_kql_error": q_json_kql_error,
         "json_kql_tags": q_json_kql_tags,
         "json_kql_wildcard_key": q_json_kql_wildcard_key,
+        "json_kql_daterange": q_json_kql_daterange,
         "json_clpstring_roundtrip": q_json_clpstring_roundtrip,
         "json_search_clpstring": q_json_search_clpstring,
         "json_projection": q_json_projection,
@@ -1059,6 +1084,14 @@ def oracle_sql() -> dict[str, str]:
             _JSON_CTE
             + "SELECT event_id FROM jsonlogs "
               "WHERE json_extract_string(json, '$.err.msg') = 'timeout'"
+        ),
+        "json_kql_daterange": (
+            "WITH x AS (SELECT event_id, "
+            "1462690800000 + (event_id % 60) * 60000 + ((event_id * 7) % 60) * 1000 AS ts_ms, "
+            "CASE WHEN event_id % 4 = 0 THEN 'ERROR' ELSE 'INFO' END AS level, "
+            "(event_id % 11 = 3) AS bad FROM events) "
+            "SELECT event_id, ts_ms FROM x WHERE NOT bad AND level = 'ERROR' "
+            "AND ts_ms >= 1462691400000 AND ts_ms <= 1462693259000"
         ),
         "json_latency_by_level": (
             _JSON_CTE

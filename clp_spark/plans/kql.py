@@ -169,9 +169,12 @@ class _Parser:
             raise KqlError(f"trailing tokens: {self.toks[self.i:]}")
         return e
 
+    # keywords are case-insensitive, like the reference grammar's
+    # [Aa][Nn][Dd] lexer rules (clp_s/search/kql/Kql.g4); an unquoted
+    # bare "and"/"or"/"not" is therefore always a keyword, never a value
     def or_expr(self):
         left = self.and_expr()
-        while self.peek() == ("word", "OR"):
+        while self.peek()[0] == "word" and self.peek()[1].upper() == "OR":
             self.next()
             left = ("or", left, self.and_expr())
         return left
@@ -180,11 +183,11 @@ class _Parser:
         left = self.unary()
         while True:
             kind, val = self.peek()
-            if (kind, val) == ("word", "AND"):
+            if kind == "word" and val.upper() == "AND":
                 self.next()
                 left = ("and", left, self.unary())
             elif kind in ("lparen", "quoted", "date") or (
-                kind == "word" and val not in ("OR", "AND")
+                kind == "word" and val.upper() not in ("OR", "AND")
             ):
                 # implicit AND (KQL juxtaposition)
                 left = ("and", left, self.unary())
@@ -193,7 +196,7 @@ class _Parser:
 
     def unary(self):
         kind, val = self.peek()
-        if (kind, val) == ("word", "NOT"):
+        if kind == "word" and val.upper() == "NOT":
             self.next()
             return _invert(self.unary())
         if kind == "lparen":

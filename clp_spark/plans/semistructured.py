@@ -537,6 +537,239 @@ def schema_subset(schema: T.StructType, patterns: list[str]) -> T.StructType:
     return build(root, schema)
 
 
+# --------------------------------------------------------------------------
+# clp_s DateString typing + per-archive timestamp index
+#
+# Reference semantics (re-derived, NOT ported): a JSON string value under a
+# timestamp-named key is parsed against the timestamp pattern table and
+# stored TYPED — epoch + format id, not text (clp_s/JsonParser.cpp:557-583
+# DateString rule); the archive records each timestamp column's min/max
+# range (clp_s/TimestampEntry.hpp:58-93) and search evaluates that index
+# BEFORE touching the archive, skipping archives whose range cannot
+# intersect the query (clp_s/search/EvaluateTimestampIndex.cpp).
+#
+# Spark re-expression: the date leaf becomes a real TimestampType field
+# inside the typed record struct (so KQL date literals engage Catalyst's
+# native timestamp comparisons and parquet min/max row-group pruning), with
+# two sidecar columns per date path — the matched pattern id and, only for
+# values no pattern matched, the original text — making decode byte-exact.
+# The archive-level index is min/max epoch per date path in the manifest;
+# pruning happens on the DRIVER from manifests alone, so a pruned archive's
+# parquet is never opened (the Spark analog of the reference's
+# archive-granularity skip).
+# --------------------------------------------------------------------------
+
+_DATE_STRUCT = T.StructType(
+    [
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("pattern_id", T.IntegerType()),
+    ]
+)
+
+
+@F.pandas_udf(_DATE_STRUCT)
+def _parse_date_udf(vals):
+    import pandas as pd
+
+    from ..functions.timestamps import search_timestamp_batch
+
+    hit = search_timestamp_batch(vals)
+    lens = vals.fillna("").str.len().to_numpy()
+    # DateString requires the WHOLE value to be the timestamp (the reference
+    # hands the full string to the timestamp parser; partial matches stay
+    # strings)
+    whole = (
+        (hit["ts_start"].to_numpy() == 0)
+        & (hit["ts_end"].to_numpy() == lens)
+        & (lens > 0)
+    )
+    pid = hit["pattern_id"].to_numpy().copy()
+    ts = hit["ts_ms"].to_numpy().copy()
+    pid[~whole] = -1
+    ts[~whole] = 0
+    return pd.DataFrame({"ts_ms": ts, "pattern_id": pid.astype("int32")})
+
+
+def date_leaf_paths(schema: T.StructType) -> list[str]:
+    """String leaves whose key name is timestamp-named — the DateString
+    candidates (complement of string_leaf_paths' exclusion)."""
+    return [
+        p
+        for p in leaf_paths(schema)
+        if p.rsplit(".", 1)[-1].lower() in TIMESTAMP_KEYS
+        and isinstance(_leaf_type(schema, p), T.StringType)
+    ]
+
+
+def date_sidecars(schema: T.StructType) -> list[tuple[str, str, str]]:
+    """(date path, pattern-id column, raw-fallback column) per date leaf."""
+    return [
+        (p, f"__datefmt_{i}", f"__dateraw_{i}")
+        for i, p in enumerate(date_leaf_paths(schema))
+    ]
+
+
+def type_json_dates(
+    parsed: DataFrame, schema: T.StructType, parsed_col: str = "rec"
+) -> DataFrame:
+    """Materialize each timestamp-named string leaf as a TimestampType field
+    (UTC epoch) in place, with sidecar (__datefmt_i, __dateraw_i) columns.
+
+    A value no pattern matches keeps a null typed field and its text in the
+    raw sidecar — decode_json_dates reconstructs the exact original either
+    way. No-op (identical plan) when the schema has no date leaves."""
+    for p, fmt_c, raw_c in date_sidecars(schema):
+        d = f"_parse_{fmt_c}"
+        parsed = (
+            parsed.withColumn(d, _parse_date_udf(F.col(f"{parsed_col}.{p}")))
+            .withColumn(fmt_c, F.col(f"{d}.pattern_id"))
+            .withColumn(
+                raw_c, F.when(F.col(f"{d}.pattern_id") < 0, F.col(f"{parsed_col}.{p}"))
+            )
+            .withColumn(
+                parsed_col,
+                F.col(parsed_col).withField(
+                    p,
+                    F.when(
+                        F.col(f"{d}.pattern_id") >= 0,
+                        F.timestamp_millis(F.col(f"{d}.ts_ms")),
+                    ),
+                ),
+            )
+            .drop(d)
+        )
+    return parsed
+
+
+def decode_json_dates(
+    records: DataFrame, schema: T.StructType, parsed_col: str = "rec"
+) -> DataFrame:
+    """Inverse of type_json_dates: each date leaf becomes its exact original
+    string again (reference insert_formatted_timestamp on decompression).
+
+    The render UDF touches ONLY the narrow date columns (a few values per
+    row, grouped by pattern id inside the batch), not the record body."""
+
+    @F.pandas_udf(T.StringType())
+    def render(ms, pid, raw):
+        import numpy as np
+        import pandas as pd
+
+        from ..functions.timestamps import render_timestamp
+
+        pid_np = pid.fillna(-1).to_numpy(dtype=np.int64)
+        ms_np = ms.fillna(0).to_numpy(dtype=np.int64)
+        out = raw.to_numpy(dtype=object, copy=True)
+        for pat in np.unique(pid_np[pid_np >= 0]):
+            idx = np.flatnonzero(pid_np == pat)
+            out[idx] = [render_timestamp(int(pat), int(m)) for m in ms_np[idx]]
+        return pd.Series(out)
+
+    for p, fmt_c, raw_c in date_sidecars(schema):
+        records = records.withColumn(
+            parsed_col,
+            F.col(parsed_col).withField(
+                p,
+                render(
+                    F.unix_millis(F.col(f"{parsed_col}.{p}")),
+                    F.col(fmt_c),
+                    F.col(raw_c),
+                ),
+            ),
+        )
+    return records
+
+
+def _kql_ts_interval(node, path: str) -> tuple[float, float]:
+    """Conservative epoch-ms interval the query implies for date column
+    `path` (reference EvaluateTimestampIndex.cpp): AND intersects, OR
+    unions, anything not a date comparison on `path` widens to (-inf, inf).
+    An archive whose recorded [min, max] misses the interval cannot match."""
+    from .kql import _parse_date_ms
+
+    full = (float("-inf"), float("inf"))
+    tag = node[0]
+    if tag == "filter":
+        _, col, op, value, _q = node
+        if ".".join(col.tokens) != path or col.namespace:
+            return full
+        if not (isinstance(value, tuple) and value[0] == "date"):
+            return full
+        try:
+            ms = _parse_date_ms(value[1])
+        except Exception:
+            return full
+        return {
+            ":": (ms, ms),
+            "=": (ms, ms),
+            ">": (ms + 1, float("inf")),
+            ">=": (ms, float("inf")),
+            "<": (float("-inf"), ms - 1),
+            "<=": (float("-inf"), ms),
+        }.get(op, full)
+    if tag == "and":
+        a, b = (_kql_ts_interval(node[i], path) for i in (1, 2))
+        return (max(a[0], b[0]), min(a[1], b[1]))
+    if tag == "or":
+        a, b = (_kql_ts_interval(node[i], path) for i in (1, 2))
+        return (min(a[0], b[0]), max(a[1], b[1]))
+    return full
+
+
+def archive_may_match(manifest: dict, query: str) -> bool:
+    """Timestamp-index check: False only when the archive's recorded date
+    ranges PROVE the query cannot match (sound to skip: null/unparsed date
+    values never satisfy a date comparison, so non-null min/max suffices)."""
+    from .kql import parse_kql
+
+    ranges = manifest.get("timestamp_ranges") or {}
+    if not ranges:
+        return True
+    node = parse_kql(query)
+    for path, (lo, hi) in ranges.items():
+        qlo, qhi = _kql_ts_interval(node, path)
+        if qlo > qhi or qhi < lo or qlo > hi:
+            return False
+    return True
+
+
+def search_json_archives_kql(
+    spark: SparkSession, archive_dirs: list[str], query: str, **kw
+) -> DataFrame:
+    """KQL search across JSON archives with timestamp-index pruning.
+
+    Driver-side manifest evaluation decides per archive; a pruned archive's
+    parquet is NEVER opened (assert via df.inputFiles() in tests). Matching
+    archives scan records/ with one Catalyst filter each and union by name
+    (schemas may differ across archives, like the reference's per-archive
+    schema trees)."""
+    import json as _json
+    import os
+
+    from .kql import kql_filter
+
+    selected, skipped = [], []
+    for d in archive_dirs:
+        with open(os.path.join(d, "_manifest.json")) as f:
+            m = _json.load(f)
+        (selected if archive_may_match(m, query) else skipped).append(d)
+
+    parts = []
+    for d in selected:
+        rec = spark.read.parquet(os.path.join(d, "records"))
+        flat = rec.select("event_id", "rec.*")
+        parts.append(kql_filter(flat, query, **kw).withColumn("_archive", F.lit(d)))
+    if not parts:
+        # schema-only read of one manifest'd archive (parquet footer, no scan)
+        rec = spark.read.parquet(os.path.join(archive_dirs[0], "records"))
+        flat = rec.select("event_id", "rec.*").withColumn("_archive", F.lit(""))
+        return flat.limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
 def ingest_json_archive(
     spark: SparkSession,
     df: DataFrame,
@@ -572,6 +805,10 @@ def ingest_json_archive(
         # first-N sample.
         schema = infer_json_schema_partitioned(spark, df, json_col)
     parsed = with_schema_id(parse_json(df, json_col, schema), schema)
+    # DateString typing BEFORE the string store split (the store already
+    # excludes timestamp-named keys); records land with real timestamp
+    # columns + sidecars and the manifest gets the per-archive range index
+    parsed = type_json_dates(parsed, schema)
     store = json_string_store(parsed, schema, id_col=id_col)
     encoded = encode_json_strings(store, id_col=id_col).persist()
     lt, vd = json_string_dicts(encoded)
@@ -605,12 +842,24 @@ def ingest_json_archive(
     commit(lambda d: vd.write.mode("overwrite").parquet(d), "var_dict")
     encoded.unpersist()
 
-    n_records = spark.read.parquet(os.path.join(out_dir, "records")).count()
-    n_schemas = (
-        spark.read.parquet(os.path.join(out_dir, "records"))
-        .select("schema_id").distinct().count()
-    )
+    written = spark.read.parquet(os.path.join(out_dir, "records"))
+    n_records = written.count()
+    n_schemas = written.select("schema_id").distinct().count()
     manifest = {"n_records": n_records, "n_schemas": n_schemas}
+    # per-archive timestamp index (TimestampEntry min/max): one pruned-column
+    # agg over the WRITTEN parquet (reads only the date columns' pages)
+    sidecars = date_sidecars(schema)
+    if sidecars:
+        aggs = []
+        for i, (p, _fmt, _raw) in enumerate(sidecars):
+            ms = F.unix_millis(F.col(f"rec.{p}"))
+            aggs += [F.min(ms).alias(f"lo_{i}"), F.max(ms).alias(f"hi_{i}")]
+        row = written.agg(*aggs).first()
+        manifest["timestamp_ranges"] = {
+            p: [row[f"lo_{i}"], row[f"hi_{i}"]]
+            for i, (p, _fmt, _raw) in enumerate(sidecars)
+            if row[f"lo_{i}"] is not None
+        }
     with open(os.path.join(out_dir, "_manifest.json"), "w") as f:
         _json.dump(manifest, f, indent=2, sort_keys=True)
     # sinks rewritten: stale collected/broadcast dictionaries must not

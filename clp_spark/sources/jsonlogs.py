@@ -113,3 +113,32 @@ def textlines_multi_cte() -> str:
 def load_textlines_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
     return spark.sql(f"{textlines_multi_cte()} SELECT * FROM lines")
+
+# --- JSON corpus with a timestamp-named string key (DateString typing) -----
+# Every value renders identically in Spark SQL and DuckDB: fixed date, two
+# lpad'd arithmetic-derived time fields; every 11th record carries an
+# unparseable placeholder to exercise the raw-string fallback.
+JSONDATES_SQL = """
+SELECT
+  event_id,
+  '{"msg": "job ' || cast(cast(event_id % 9 as int) as string)
+  || '", "meta": {"timestamp": "'
+  || CASE WHEN event_id % 11 = 3 THEN 'pending'
+     ELSE '2016-05-08 07:'
+       || lpad(cast(cast(event_id % 60 as int) as string), 2, '0') || ':'
+       || lpad(cast(cast((event_id * 7) % 60 as int) as string), 2, '0')
+     END
+  || '", "level": "' || CASE WHEN event_id % 4 = 0 THEN 'ERROR' ELSE 'INFO' END
+  || '"}}' AS json
+FROM events
+"""
+
+
+def jsondates_cte() -> str:
+    """CTE prelude defining `jsondates`, valid in Spark SQL and DuckDB."""
+    return f"WITH jsondates AS ({JSONDATES_SQL})\n"
+
+
+def load_jsondates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
+    return spark.sql(f"{jsondates_cte()} SELECT * FROM jsondates")

@@ -215,3 +215,17 @@ def test_filename_pseudo_column(spark):
     d2 = with_filename_pseudo_column(d)
     got = [r["id"] for r in kql_filter(d2, '$_filename: *.log').collect()]
     assert got == [1]
+
+
+def test_kql_keywords_case_insensitive(spark):
+    """Keywords match any case, like the reference grammar's [Aa][Nn][Dd]
+    lexer rules (clp_s/search/kql/Kql.g4) — lowercase `and` must combine,
+    not search for the literal word."""
+    from clp_spark.plans.kql import kql_filter
+
+    df = spark.createDataFrame(
+        [("ERROR", 5), ("INFO", 5), ("ERROR", 1)], "level string, code int"
+    )
+    assert kql_filter(df, 'level: "ERROR" and code >= 3').count() == 1
+    assert kql_filter(df, 'level: "INFO" or code >= 3').count() == 2
+    assert kql_filter(df, 'not level: "ERROR"').count() == 1
