@@ -578,3 +578,17 @@ def kql_filter(
         if end_ts_ms is not None:
             cond = cond & (ms <= F.lit(end_ts_ms))
     return df.filter(cond)
+
+
+def parse_sql_expression(text: str):
+    """SQL search grammar — reference-parity stub.
+
+    The reference's SQL grammar is deliberately a work-in-progress stub
+    (clp_s/search/sql/Sql.g4: `start: EOF`): empty input parses to
+    EmptyExpr, anything else is a parse error (sql.cpp returns nullptr;
+    test-sql.cpp asserts exactly this). Mirrored here: '' -> the ("none",)
+    AST (matches nothing, like EmptyExpr), non-empty -> None. KQL
+    (parse_kql) is the full-featured search grammar, as upstream."""
+    if text.strip() == "":
+        return ("none",)
+    return None

@@ -538,6 +538,132 @@ def schema_subset(schema: T.StructType, patterns: list[str]) -> T.StructType:
 
 
 # --------------------------------------------------------------------------
+# clp_s encoded array store (array.dict)
+#
+# Reference semantics (re-derived, NOT ported): unstructured arrays are
+# serialized and interned in their OWN dictionary (clp_s/
+# archive_constants.hpp:12-26 `array.dict`; SchemaTree UnstructuredArray
+# node type) — the per-schema tables store only the dictionary id, and
+# array search deserializes DICTIONARY ENTRIES, not rows
+# (clp_s/search/QueryRunner.hpp:282 evaluate_array_filter; the dict loads
+# lazily, Output.cpp:67-77).
+#
+# Spark re-expression: serialize with to_json (JVM codegen), id by
+# xxhash64 of the serialized form (content-hash id — embarrassingly
+# parallel like every other dictionary here), dedupe with one groupBy over
+# the narrow (id, value) pairs. Search parses only the deduped dictionary
+# (tiny) and semi-joins ids back — per-distinct-array work, not per-row.
+# --------------------------------------------------------------------------
+
+
+def array_leaf_paths(schema: T.StructType) -> list[str]:
+    """Unstructured-array leaves (ArrayType fields at any nesting)."""
+    return [
+        p
+        for p in leaf_paths(schema)
+        if isinstance(_leaf_type(schema, p), T.ArrayType)
+    ]
+
+
+def json_array_store(
+    parsed: DataFrame,
+    schema: T.StructType,
+    id_col: str = "event_id",
+    parsed_col: str = "rec",
+) -> DataFrame:
+    """Narrow store of every non-null array leaf: (id, path, array_sl,
+    array_id) — array_sl the serialized array, array_id its content hash."""
+    paths = array_leaf_paths(schema)
+    if not paths:
+        return parsed.sparkSession.createDataFrame(
+            [], f"{id_col} long, path string, array_sl string, array_id long"
+        )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("path"),
+                F.to_json(F.col(f"{parsed_col}.{p}")).alias("array_sl"),
+            )
+            for p in paths
+        ]
+    )
+    return (
+        parsed.select(F.col(id_col), F.explode(pairs).alias("kv"))
+        .select(id_col, "kv.path", "kv.array_sl")
+        .filter(F.col("array_sl").isNotNull())
+        .withColumn("array_id", F.xxhash64("array_sl"))
+    )
+
+
+def json_array_dict(store: DataFrame) -> DataFrame:
+    """array.dict: (array_id, array_sl, n_occurrences), deduped."""
+    return store.groupBy("array_id", "array_sl").agg(
+        F.count("*").alias("n_occurrences")
+    )
+
+
+def strip_json_arrays(
+    parsed: DataFrame, schema: T.StructType, parsed_col: str = "rec"
+) -> DataFrame:
+    """Null out array leaves in the typed records (their values live in the
+    array store/dict only — the reference's tables hold just the id)."""
+    for p in array_leaf_paths(schema):
+        parsed = parsed.withColumn(
+            parsed_col,
+            F.col(parsed_col).withField(
+                p, F.lit(None).cast(_leaf_type(schema, p))
+            ),
+        )
+    return parsed
+
+
+def decode_json_arrays(
+    records: DataFrame,
+    store: DataFrame,
+    schema: T.StructType,
+    id_col: str = "event_id",
+    parsed_col: str = "rec",
+) -> DataFrame:
+    """Re-attach array values from the store: exact inverse of
+    strip_json_arrays (decompression path)."""
+    out = records
+    for i, p in enumerate(array_leaf_paths(schema)):
+        side = (
+            store.filter(F.col("path") == p)
+            .select(F.col(id_col), F.col("array_sl").alias(f"_arr_{i}"))
+        )
+        out = out.join(F.broadcast(side), id_col, "left").withColumn(
+            parsed_col,
+            F.col(parsed_col).withField(
+                p, F.from_json(F.col(f"_arr_{i}"), _leaf_type(schema, p))
+            ),
+        ).drop(f"_arr_{i}")
+    return out
+
+
+def search_json_archive_arrays(
+    spark: SparkSession, out_dir: str, path: str, value
+) -> DataFrame:
+    """Array filter over a written archive via the array dictionary: parse
+    the DEDUPED dict entries (tiny), keep ids whose array contains `value`,
+    semi-join the store — per-distinct-array work, the reference's
+    evaluate_array_filter + lazy array.dict model. Returns matching ids."""
+    import os
+
+    adict = spark.read.parquet(os.path.join(out_dir, "array_dict"))
+    store = spark.read.parquet(os.path.join(out_dir, "array_store"))
+    elem = F.from_json(F.col("array_sl"), T.ArrayType(T.StringType()))
+    hit_ids = adict.filter(
+        F.exists(elem, lambda x: x == F.lit(str(value)))
+    ).select("array_id")
+    return (
+        store.filter(F.col("path") == path)
+        .join(F.broadcast(hit_ids), "array_id", "left_semi")
+        .select("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # clp_s DateString typing + per-archive timestamp index
 #
 # Reference semantics (re-derived, NOT ported): a JSON string value under a
@@ -812,6 +938,11 @@ def ingest_json_archive(
     store = json_string_store(parsed, schema, id_col=id_col)
     encoded = encode_json_strings(store, id_col=id_col).persist()
     lt, vd = json_string_dicts(encoded)
+    # array.dict: serialized arrays leave the records table for their own
+    # dictionary; records keep nulls (ids live in array_store)
+    arr_store = json_array_store(parsed, schema, id_col=id_col).persist()
+    arr_dict = json_array_dict(arr_store)
+    parsed = strip_json_arrays(parsed, schema)
 
     os.makedirs(out_dir, exist_ok=True)
 
@@ -840,7 +971,10 @@ def ingest_json_archive(
     )
     commit(lambda d: lt.write.mode("overwrite").parquet(d), "logtype_dict")
     commit(lambda d: vd.write.mode("overwrite").parquet(d), "var_dict")
+    commit(lambda d: arr_store.write.mode("overwrite").parquet(d), "array_store")
+    commit(lambda d: arr_dict.write.mode("overwrite").parquet(d), "array_dict")
     encoded.unpersist()
+    arr_store.unpersist()
 
     written = spark.read.parquet(os.path.join(out_dir, "records"))
     n_records = written.count()

@@ -229,3 +229,13 @@ def test_kql_keywords_case_insensitive(spark):
     assert kql_filter(df, 'level: "ERROR" and code >= 3').count() == 1
     assert kql_filter(df, 'level: "INFO" or code >= 3').count() == 2
     assert kql_filter(df, 'not level: "ERROR"').count() == 1
+
+
+def test_sql_grammar_stub_parity():
+    """Reference test-sql.cpp: empty string -> EmptyExpr; the grammar
+    accepts nothing else (Sql.g4 is `start: EOF` upstream)."""
+    from clp_spark.plans.kql import parse_sql_expression
+
+    assert parse_sql_expression("") == ("none",)
+    assert parse_sql_expression("   ") == ("none",)
+    assert parse_sql_expression("SELECT * FROM t") is None

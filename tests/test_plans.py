@@ -301,3 +301,19 @@ def test_tar_scan_many_members_streams(spark, tmp_path):
         for r in TL.read_tar_logs(spark, str(tar_path)).collect()
     ]
     assert sorted(got) == sorted(expected)
+
+
+def test_object_store_scheme_passthrough(spark):
+    """Object-store paths (reference clp_s/InputConfig.cpp s3:// sources)
+    pass through UNMANGLED to Hadoop's FileSystem layer: the failure in
+    this jar-less sandbox must be 'no S3A filesystem class', never a
+    local-path rewrite or silent empty result."""
+    import pytest as _pytest
+
+    from clp_spark.plans import textlogs as TL
+
+    with _pytest.raises(Exception) as ei:
+        TL.read_text_logs(spark, "s3a://bucket/logs/*.log").count()
+    msg = str(ei.value)
+    assert "s3a" in msg.lower() or "S3AFileSystem" in msg
+    assert "file:/" not in msg.split("s3a")[0]

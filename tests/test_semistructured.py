@@ -374,3 +374,48 @@ def test_json_archive_timestamp_index_prunes(spark, tmp_path):
         spark, [d1, d2], 'meta.timestamp < date("2015-01-01 00:00:00")'
     )
     assert none.count() == 0
+
+
+def test_json_archive_array_dict(spark, tmp_path):
+    """Encoded array store (clp_s archive_constants array.dict): array
+    values leave the records table for their own dictionary; array search
+    parses DICT entries only; decode re-attaches values exactly."""
+    from pyspark.sql import functions as F
+
+    from clp_spark.plans.semistructured import (
+        decode_json_arrays,
+        infer_json_schema,
+        ingest_json_archive,
+        parse_json,
+        search_json_archive_arrays,
+    )
+
+    df = load_jsonlogs(spark, SF_DIR)
+    out = str(tmp_path / "jarch")
+    ingest_json_archive(spark, df, out)
+
+    rec = spark.read.parquet(out + "/records")
+    # arrays are nulled in records...
+    assert rec.filter(F.col("rec.tags").isNotNull()).count() == 0
+    # ...and live deduped in the dict (one distinct serialized array here)
+    adict = spark.read.parquet(out + "/array_dict")
+    store = spark.read.parquet(out + "/array_store")
+    n_with_tags = df.filter(F.get_json_object("json", "$.tags").isNotNull()).count()
+    assert adict.count() == 1 and store.count() == n_with_tags
+    assert adict.first()["n_occurrences"] == n_with_tags
+
+    got = {r["event_id"] for r in
+           search_json_archive_arrays(spark, out, "tags", "slow").collect()}
+    want = {r["event_id"] for r in
+            df.filter(F.get_json_object("json", "$.tags").isNotNull()).collect()}
+    assert got == want and got
+
+    # decode: re-attached arrays equal the original parse
+    schema = infer_json_schema(spark, df, "json")
+    orig = parse_json(df, "json", schema).select(
+        "event_id", F.col("rec.tags").alias("tags")
+    )
+    back = decode_json_arrays(rec, store, schema).select(
+        "event_id", F.col("rec.tags").alias("tags")
+    )
+    assert back.exceptAll(orig).count() == 0 and orig.exceptAll(back).count() == 0
