@@ -633,6 +633,22 @@ def q_ann_lsh_exactmatch_check(spark, sf_dir):
     )
 
 
+def q_ann_ivf_exactmatch_check(spark, sf_dir):
+    """IVF guarantee: the query vector itself must be rank 1 with sim ~= 1
+    — the query IS vec 0, so vec 0's assigned cluster is by construction
+    the query's nearest centroid, which nprobe >= 1 always probes.
+    Output: ok = 1."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    top = SIM.ann_topk_ivf(
+        e, _query_vec(spark, sf_dir), k=10, n_centroids=8, nprobe=2
+    ).limit(1)
+    return top.select(
+        F.when((F.col("vec_id") == 0) & (F.col("sim") > 0.999), 1)
+        .otherwise(0)
+        .alias("ok_ivf")
+    )
+
+
 EMB_DIM = 64  # testdata embeddings.parquet dimension (TESTDATA.md)
 
 
@@ -642,17 +658,18 @@ def _query_vec(spark, sf_dir):
 
 
 def q_operator_invariants(spark, sf_dir):
-    """All five signature-operator invariants as ONE oracle-checked row
-    (missed=0, diff=0, bad=0, violations=0, ok=1) — the same proofs as the
-    individual q_*_check queries (still defined above and pytest-run), but
-    occupying one slot of the driver's 50-row correctness window so the
-    freed slots go to oracle-bearing operator queries."""
+    """All six signature-operator invariants as ONE oracle-checked row
+    (missed=0, diff=0, bad=0, violations=0, ok=1, ok_ivf=1) — the same
+    proofs as the individual q_*_check queries (still defined above and
+    pytest-run), but occupying one slot of the driver's 50-row correctness
+    window so the freed slots go to oracle-bearing operator queries."""
     row = (
         q_lsh_superset_check(spark, sf_dir)
         .crossJoin(q_simhash_neardup_check(spark, sf_dir))
         .crossJoin(q_cosine_neardup_check(spark, sf_dir))
         .crossJoin(q_signature_determinism_check(spark, sf_dir))
         .crossJoin(q_ann_lsh_exactmatch_check(spark, sf_dir))
+        .crossJoin(q_ann_ivf_exactmatch_check(spark, sf_dir))
     )
     return row
 
@@ -660,6 +677,18 @@ def q_operator_invariants(spark, sf_dir):
 def q_ann_topk(spark, sf_dir):
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return SIM.cosine_topk(e, _query_vec(spark, sf_dir), k=10)
+
+
+def q_ann_topk_ivf(spark, sf_dir):
+    """IVF (inverted-file) ANN: deterministic spherical-k-means coarse
+    quantizer, probe the nprobe nearest clusters, exact cosine re-rank
+    inside them — the second scale path next to the LSH variant. Full-probe
+    equivalence to brute force and the exact-match guarantee are pinned in
+    tests/test_operators.py."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SIM.ann_topk_ivf(
+        e, _query_vec(spark, sf_dir), k=10, n_centroids=8, nprobe=3
+    )
 
 
 def q_cosine_neardup(spark, sf_dir):
@@ -739,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "ann_topk_lsh": q_ann_topk_lsh,
         "cosine_neardup": q_cosine_neardup,
+        "ann_topk_ivf": q_ann_topk_ivf,
     }
 
 
@@ -1145,7 +1175,8 @@ def oracle_sql() -> dict[str, str]:
         # the PROPERTY is SQL-trivial even though the signatures are not
         "operator_invariants": (
             "SELECT cast(0 as bigint) AS missed, cast(0 as bigint) AS diff, "
-            "cast(0 as bigint) AS bad, cast(0 as bigint) AS violations, 1 AS ok"
+            "cast(0 as bigint) AS bad, cast(0 as bigint) AS violations, "
+            "1 AS ok, 1 AS ok_ivf"
         ),
         # minhash_lsh_dups / simhash / fingerprint / ann_topk_lsh: hash- or
         # signature-based (not ANSI-SQL-expressible) -> driver rows-only check.

@@ -106,6 +106,40 @@ def test_ann_lsh_topk_matches_bruteforce_head(spark):
     assert len(set(brute) & set(lsh)) >= 2
 
 
+def test_ivf_topk_exact_at_full_probe(spark):
+    """nprobe == n_centroids degenerates IVF to exact brute force — the
+    recall knob's boundary property, pinned."""
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = [float(x) for x in e.filter("vec_id = 0").first()["embedding"]]
+    brute = [(r["vec_id"], r["sim"]) for r in SIM.cosine_topk(e, q, k=5).collect()]
+    ivf = [
+        (r["vec_id"], r["sim"])
+        for r in SIM.ann_topk_ivf(
+            e, q, k=5, n_centroids=8, nprobe=8, iters=1
+        ).collect()
+    ]
+    assert ivf == brute
+
+
+def test_ivf_topk_probe_subset(spark):
+    """With a strict probe subset the query's own vector is still rank 1
+    (its cluster is always probed) and training is deterministic."""
+    import numpy as np
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = [float(x) for x in e.filter("vec_id = 0").first()["embedding"]]
+    c1 = SIM.ivf_centroids(e, dim=64, n_centroids=8, iters=2)
+    c2 = SIM.ivf_centroids(e, dim=64, n_centroids=8, iters=2)
+    assert np.array_equal(c1, c2)
+    top = SIM.ann_topk_ivf(e, q, k=5, nprobe=2, centroids=c1).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["sim"] > 0.999
+    # probing 2/8 clusters must scan a strict subset of the corpus
+    assigned = SIM.ivf_assign(e, c1)
+    sizes = {r["cluster"]: r["n"] for r in assigned.groupBy("cluster").agg(
+        F.count("*").alias("n")).collect()}
+    assert len(sizes) > 2 and sum(sizes.values()) == e.count()
+
+
 def test_ngram_hot_shingle_cap(spark):
     """VERDICT r2 item 6: with max_docs_per_shingle set, a synthetic
     ultra-hot shingle is excluded from the self-join while the
