@@ -28,6 +28,8 @@ from clp_spark.plans.kql import kql_filter
 from clp_spark.functions.wildcard import wildcard_to_regex
 from clp_spark.functions import text_metrics as TM
 from clp_spark.operators import dedup as DD
+from clp_spark.operators import cluster as CL
+from clp_spark.operators import sessionize as SESS
 from clp_spark.operators import similarity as SIM
 from clp_spark.sources.transcripts import (
     DIM_ROLE_SQL,
@@ -534,6 +536,28 @@ def q_ngram_jaccard_dups(spark, sf_dir):
     return DD.ngram_jaccard_pairs(d, threshold=JACCARD_THRESHOLD, k=JACCARD_K)
 
 
+SESSION_GAP_MINUTES = 480.0  # 8 h; the events corpus has ~7 h median inter-event gap
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization over the events table: one window shuffle
+    (lag boundary + running session index share a single Sort+Window) then
+    a partitioning-reusing groupBy — `operators/sessionize.py`. Epoch
+    micros are NTZ-frame integers, so the DuckDB oracle is bit-exact."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return SESS.session_stats(e, gap_minutes=SESSION_GAP_MINUTES)
+
+
+def q_neardup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTER assignment (the keep/drop curation step):
+    n-gram Jaccard pairs -> alternating large-star/small-star connected
+    components (Kiveris et al. SoCC'14), cluster_id = min doc_id of the
+    component. Oracle: recursive-CTE transitive closure over the same
+    pair SQL."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return CL.neardup_clusters(d, threshold=JACCARD_THRESHOLD, k=JACCARD_K)
+
+
 def q_minhash_lsh_dups(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return DD.minhash_lsh_pairs(d, threshold=JACCARD_THRESHOLD).select("id_a", "id_b")
@@ -752,18 +776,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "langid": q_langid,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
+        "neardup_clusters": q_neardup_clusters,
+        "sessionize": q_sessionize,
         # ORDERING CONTRACT (VERDICT r2 item 2): the driver records
         # correctness rows for only the FIRST 50 queries() entries — every
         # oracle-bearing query must sit above this comment block; rows-only
-        # (hash-/signature-valued) queries go at the END. The five
+        # (hash-/signature-valued) queries go at the END. The six
         # signature invariants are folded into ONE oracle row
-        # (operator_invariants) so they occupy one slot, not five.
+        # (operator_invariants) so they occupy one slot, not six.
         "operator_invariants": q_operator_invariants,
         "ann_topk": q_ann_topk,
         # ---- rows-only below (no ANSI-SQL oracle; pytest + the
-        # operator_invariants row above carry their correctness) ----
+        # operator_invariants row above carry their correctness; entries
+        # past the 50-row window are deliberately the ones whose invariant
+        # already has a green oracle row) ----
         "minhash_lsh_dups": q_minhash_lsh_dups,
-        "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "fingerprint": q_fingerprint,
         "ann_topk_lsh": q_ann_topk_lsh,
@@ -1165,6 +1192,42 @@ def oracle_sql() -> dict[str, str]:
             + f"SELECT id_a, id_b, round(c * 1.0 / (x.sz + y.sz - c), 4) AS jaccard "
               f"FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id "
               f"WHERE c * 1.0 / (x.sz + y.sz - c) >= {JACCARD_THRESHOLD}"
+        ),
+        "neardup_clusters": (
+            "WITH RECURSIVE "
+            + _SHINGLE_CTE.format(km1=JACCARD_K - 1).strip().rstrip()
+            + f""",
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+  WHERE c * 1.0 / (x.sz + y.sz - c) >= {JACCARD_THRESHOLD}
+),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+walk(u, r) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.v, w.r FROM walk w JOIN edges e ON e.u = w.u
+)
+SELECT u AS doc_id, min(r) AS cluster_id FROM walk GROUP BY 1"""
+        ),
+        "sessionize": (
+            f"""WITH b AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {int(SESSION_GAP_MINUTES * 60 * 1e6)}
+    THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+    cast(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) as bigint) AS session_id
+  FROM b
+)
+SELECT user_id, session_id, count(*) AS n_events,
+  min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+  max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+FROM s GROUP BY 1, 2"""
         ),
         "ann_topk": (
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "

@@ -271,3 +271,115 @@ def test_real_audio_codec_end_to_end(spark, media):
     assert np.allclose(out[row["media_id"]], expect, atol=1e-5)
     # a pure sine's RMS is ~0.707 in every window — real signal, not noise
     assert all(abs(v - 0.707) < 0.05 for v in out[row["media_id"]])
+
+
+# ---- connected components / near-dup clustering ----------------------------
+
+
+def test_cc_known_graph(spark):
+    from clp_spark.operators.cluster import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 2), (9, 3), (5, 7), (10, 11), (11, 12), (12, 10)],
+        "id_a long, id_b long",
+    )
+    got = {(r["node"], r["component"]) for r in connected_components(edges).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (9, 1), (5, 5), (7, 5), (10, 10), (11, 10), (12, 10)}
+
+
+def test_cc_matches_union_find(spark):
+    """Pseudo-random graph (deterministic LCG) vs a plain union-find."""
+    from clp_spark.operators.cluster import connected_components
+
+    x, edges = 1234567, []
+    for _ in range(300):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        u = x % 200
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        v = x % 200
+        if u != v:
+            edges.append((u, v))
+    parent = list(range(200))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for u, v in edges:
+        parent[find(u)] = find(v)
+    nodes = {n for e in edges for n in e}
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    expected = {n: min(members) for members in comp.values() for n in members}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == expected
+
+
+def test_cc_long_chain_converges(spark):
+    """A 64-node path with ids laid out adversarially (descending) still
+    converges within the O(log^2 n) round budget."""
+    from clp_spark.operators.cluster import connected_components
+
+    n = 64
+    edges = [(n - i, n - i - 1) for i in range(n - 1)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    rows = connected_components(df).collect()
+    assert len(rows) == n and {r["component"] for r in rows} == {1}
+
+
+def test_neardup_clusters_singletons_and_consistency(spark):
+    from clp_spark.operators.cluster import neardup_clusters
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    cl = neardup_clusters(d, threshold=0.6, k=3, include_singletons=True)
+    rows = cl.collect()
+    assert len(rows) == d.count()  # every doc assigned exactly once
+    asg = {r["doc_id"]: r["cluster_id"] for r in rows}
+    # every above-threshold pair must land in the same cluster
+    pairs = DD.ngram_jaccard_pairs(d, threshold=0.6, k=3).collect()
+    assert pairs and all(asg[p["id_a"]] == asg[p["id_b"]] for p in pairs)
+    # canonical label: the cluster id is a member of its own cluster
+    assert all(asg[c] == c for c in set(asg.values()))
+
+
+# ---- sessionization ---------------------------------------------------------
+
+
+def test_sessionize_boundaries(spark):
+    from datetime import datetime
+
+    from clp_spark.operators.sessionize import session_stats, sessionize
+
+    rows = [
+        # user 1: events at 0, 10, 50 min (gap 40 > 30 -> 2 sessions)
+        (1, 1, datetime(2024, 1, 1, 0, 0, 0)),
+        (2, 1, datetime(2024, 1, 1, 0, 10, 0)),
+        (3, 1, datetime(2024, 1, 1, 0, 50, 0)),
+        # user 2: tie timestamps -> ordered by event_id, single session
+        (4, 2, datetime(2024, 1, 1, 1, 0, 0)),
+        (5, 2, datetime(2024, 1, 1, 1, 0, 0)),
+        # exact-30-min gap is NOT a boundary (strict >)
+        (6, 3, datetime(2024, 1, 1, 0, 0, 0)),
+        (7, 3, datetime(2024, 1, 1, 0, 30, 0)),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp_ntz")
+    s = {
+        (r["event_id"]): (r["user_id"], r["session_id"])
+        for r in sessionize(df, gap_minutes=30).collect()
+    }
+    assert s == {1: (1, 1), 2: (1, 1), 3: (1, 2), 4: (2, 1), 5: (2, 1), 6: (3, 1), 7: (3, 1)}
+    st = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["duration_us"])
+        for r in session_stats(df, gap_minutes=30).collect()
+    }
+    assert st == {
+        (1, 1): (2, 600_000_000),
+        (1, 2): (1, 0),
+        (2, 1): (2, 0),
+        (3, 1): (2, 1_800_000_000),
+    }
