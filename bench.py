@@ -77,6 +77,7 @@ HEADLINE = [
     "minhash_lsh_dups",
     "token_counts",
     "ann_topk",
+    "sessionize",
 ]
 
 

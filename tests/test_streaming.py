@@ -203,3 +203,49 @@ def test_stream_ingest_ir_end_to_end(spark, tmp_path):
     counts = {r["logtype"]: r["cnt"]
               for r in read_dict_sink(spark, os.path.join(out, "counts_logtype")).collect()}
     assert sum(counts.values()) == before
+
+
+def test_stream_sessions_match_batch_and_resume(spark, tmp_path):
+    """Streaming session windows: every emitted (closed) session matches the
+    batch sessionizer exactly; resuming the same checkpoint over new files
+    emits MORE sessions without duplicating earlier ones."""
+    from clp_spark.operators.sessionize import session_stats
+    from clp_spark.streaming.sessions import read_session_sink, stream_session_stats
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(inp)
+
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet").orderBy("ts")
+    n = e.count()
+    first, second = e.limit(n // 2), e.subtract(e.limit(n // 2))
+    first.coalesce(1).write.parquet(os.path.join(inp, "f1"))
+
+    gap = 480.0
+    q = stream_session_stats(
+        spark, inp + "/*", out, ckpt, gap_minutes=gap, watermark_delay="1 minute"
+    )
+    q.awaitTermination(120)
+    got1 = read_session_sink(spark, out)
+    n1 = got1.count()
+    assert n1 > 0
+
+    # ground truth over ALL data: a closed session emitted early must match
+    # the full-corpus batch result (sessions are final once closed)
+    batch = session_stats(e, gap_minutes=gap).select(
+        "user_id", "n_events", "start_us", "end_us", "duration_us"
+    )
+    assert got1.exceptAll(batch).count() == 0
+
+    # resume: add the remaining events, run the same checkpoint again
+    second.coalesce(1).write.parquet(os.path.join(inp, "f2"))
+    q = stream_session_stats(
+        spark, inp + "/*", out, ckpt, gap_minutes=gap, watermark_delay="1 minute"
+    )
+    q.awaitTermination(120)
+    got2 = read_session_sink(spark, out)
+    assert got2.count() > n1
+    assert got2.exceptAll(batch).count() == 0
+    # no duplicate sessions across batches (exactly-once)
+    assert got2.count() == got2.dropDuplicates(["user_id", "start_us"]).count()
