@@ -22,7 +22,10 @@ delivered at least once; EVERY sink write is idempotent per batch id —
     and commits it with one atomic rename of _base_meta.json, which names
     both the current base dir and the batch ids it folds — so a crash at any
     point leaves a consistent (base, merged-set) pair and can neither double
-    count a folded delta nor lose the base.
+    count a folded delta nor lose the base. Prior bases stay on disk as a
+    SNAPSHOT LOG (the Iceberg snapshot-list analog): read_dict_sink(
+    as_of_batch=N) time-travels to any unexpired micro-batch;
+    expire_snapshots() reclaims history behind a retention horizon.
 Per-batch write cost is O(delta) — the previous design rewrote the WHOLE
 dictionary every micro-batch (read-all ∪ delta -> overwrite), which goes
 quadratic over a long-running stream; compaction amortizes the O(total)
@@ -84,12 +87,18 @@ DICT_SINKS = {
 # fold deltas into the base once this many live deltas accumulate
 COMPACT_EVERY = 8
 
+# snapshot bases retained for time travel before expiry (Iceberg
+# history-retention analog); the streaming sink expires beyond this
+SNAPSHOT_RETENTION = 4
+
 
 def _base_meta(sink_dir: str) -> dict:
-    """The sink's commit record: which dir is the current base parquet and
-    which delta batch ids it already folds. Written atomically (os.replace)
-    so base CONTENTS and the merged set commit together — there is no window
-    where a folded delta is both inside the base and still 'live'."""
+    """The sink's commit record: which dir is the current base parquet,
+    which delta batch ids it already folds, plus the SNAPSHOT LOG — every
+    retained historical base with the max batch id it folds (the Iceberg
+    snapshot-list analog; `read_dict_sink(as_of_batch=...)` time-travels
+    through it). Written atomically (os.replace) so base CONTENTS, the
+    merged set and the snapshot list commit together."""
     p = os.path.join(sink_dir, "_base_meta.json")
     if os.path.exists(p):
         with open(p) as f:
@@ -101,6 +110,15 @@ def _base_meta(sink_dir: str) -> dict:
         meta["base_dir"] = (
             "_base" if os.path.isdir(os.path.join(sink_dir, "_base")) else None
         )
+    if "snapshots" not in meta:
+        # legacy meta: the current base is the only snapshot
+        meta["snapshots"] = (
+            [{"base_dir": meta["base_dir"], "max_batch": max(meta["merged_batches"], default=-1)}]
+            if meta["base_dir"]
+            else []
+        )
+    # smallest delta batch id still guaranteed on disk (raised by expiry)
+    meta.setdefault("delta_floor", 0)
     return meta
 
 
@@ -134,21 +152,52 @@ def write_dict_delta(delta: DataFrame, sink_dir: str, batch_id: int) -> None:
     _staged_write(delta, os.path.join(sink_dir, "_deltas", f"batch_id={batch_id}"))
 
 
-def read_dict_sink(spark: SparkSession, sink_dir: str) -> DataFrame:
-    """The sink's current table: base ∪ live deltas, re-aggregated.
+def _delta_ids_on_disk(sink_dir: str) -> list[int]:
+    ddir = os.path.join(sink_dir, "_deltas")
+    if not os.path.isdir(ddir):
+        return []
+    return sorted(
+        int(d.split("=", 1)[1]) for d in os.listdir(ddir) if d.startswith("batch_id=")
+    )
 
-    Sink subdir name determines (keys, cnt) via DICT_SINKS."""
+
+def read_dict_sink(
+    spark: SparkSession, sink_dir: str, as_of_batch: int | None = None
+) -> DataFrame:
+    """The sink's table: base ∪ live deltas, re-aggregated.
+
+    With `as_of_batch=N`, TIME-TRAVEL: the table as of micro-batch N — the
+    newest retained snapshot base folding ≤ N plus the retained deltas in
+    between (Iceberg snapshot-read analog; the time-travel path reads
+    O(#batches-since-snapshot) small files, it is not the hot path).
+    Raises ValueError when N predates the expiry horizon
+    (`expire_snapshots`). Sink subdir name determines (keys, cnt) via
+    DICT_SINKS."""
     name = os.path.basename(sink_dir.rstrip("/"))
     keys, cnt = DICT_SINKS[name]
-    # One meta read gives a CONSISTENT (base, merged-set) view: the base dir
-    # named here folds exactly the batches listed as merged.
+    # One meta read gives a CONSISTENT (base, merged-set, snapshots) view.
     meta = _base_meta(sink_dir)
     parts = []
-    if meta["base_dir"]:
-        base = os.path.join(sink_dir, meta["base_dir"])
-        if os.path.isdir(base):
-            parts.append(spark.read.parquet(base))
-    for b in _live_delta_ids(sink_dir, meta):
+    if as_of_batch is None:
+        if meta["base_dir"]:
+            base = os.path.join(sink_dir, meta["base_dir"])
+            if os.path.isdir(base):
+                parts.append(spark.read.parquet(base))
+        delta_ids = _live_delta_ids(sink_dir, meta)
+    else:
+        snaps = [s for s in meta["snapshots"] if s["max_batch"] <= as_of_batch]
+        floor = -1
+        if snaps:
+            best = max(snaps, key=lambda s: s["max_batch"])
+            parts.append(spark.read.parquet(os.path.join(sink_dir, best["base_dir"])))
+            floor = best["max_batch"]
+        elif meta["delta_floor"] > 0:
+            raise ValueError(
+                f"snapshot as of batch {as_of_batch} expired from {sink_dir} "
+                f"(delta floor {meta['delta_floor']}, no retained base ≤ it)"
+            )
+        delta_ids = [b for b in _delta_ids_on_disk(sink_dir) if floor < b <= as_of_batch]
+    for b in delta_ids:
         parts.append(spark.read.parquet(os.path.join(sink_dir, "_deltas", f"batch_id={b}")))
     if not parts:
         raise FileNotFoundError(f"empty dict sink {sink_dir}")
@@ -173,22 +222,47 @@ def compact_dict_sink(spark: SparkSession, sink_dir: str) -> int:
     merged_df = read_dict_sink(spark, sink_dir)
     new_base = f"_base.{uuid.uuid4().hex}"
     merged_df.write.mode("overwrite").parquet(os.path.join(sink_dir, new_base))
-    old_base = meta["base_dir"]
     _write_base_meta(
         sink_dir,
         {
             "base_dir": new_base,
             "merged_batches": sorted(set(meta["merged_batches"]) | set(live)),
+            # prior bases and their folded deltas are RETAINED as snapshots
+            # (time travel via read_dict_sink(as_of_batch=...));
+            # expire_snapshots() reclaims them
+            "snapshots": meta["snapshots"] + [{"base_dir": new_base, "max_batch": max(live)}],
+            "delta_floor": meta["delta_floor"],
         },
     )
-    # cleanup; a crash below only leaves ignored (unreferenced) dirs behind
-    if old_base:
-        shutil.rmtree(os.path.join(sink_dir, old_base), ignore_errors=True)
-    for b in live:
-        shutil.rmtree(
-            os.path.join(sink_dir, "_deltas", f"batch_id={b}"), ignore_errors=True
-        )
     return len(live)
+
+
+def expire_snapshots(sink_dir: str, keep_last: int = 2) -> int:
+    """Reclaim history: keep the newest `keep_last` snapshot bases, drop
+    older bases and the folded deltas at-or-below the oldest retained
+    snapshot (Iceberg expire_snapshots analog). The commit point is the ONE
+    atomic meta rename — a crash after it only leaves unreferenced dirs that
+    readers ignore. Time travel to batches older than the new horizon then
+    raises ValueError. Returns #snapshots dropped."""
+    meta = _base_meta(sink_dir)
+    snaps = meta["snapshots"]
+    if len(snaps) <= keep_last:
+        return 0
+    drop, keep = snaps[:-keep_last], snaps[-keep_last:]
+    floor = keep[0]["max_batch"] + 1
+    _write_base_meta(
+        sink_dir,
+        {**meta, "snapshots": keep, "delta_floor": max(meta["delta_floor"], floor)},
+    )
+    for s in drop:
+        shutil.rmtree(os.path.join(sink_dir, s["base_dir"]), ignore_errors=True)
+    merged = set(meta["merged_batches"])
+    for b in _delta_ids_on_disk(sink_dir):
+        if b < floor and b in merged:  # never delete a live (unfolded) delta
+            shutil.rmtree(
+                os.path.join(sink_dir, "_deltas", f"batch_id={b}"), ignore_errors=True
+            )
+    return len(drop)
 
 
 def compact_all(spark: SparkSession, out_dir: str) -> None:
@@ -229,6 +303,7 @@ def _sink_parsed_batch(
             write_dict_delta(delta, sink, batch_id)
             if len(_live_delta_ids(sink)) >= compact_every:
                 compact_dict_sink(spark, sink)
+                expire_snapshots(sink, keep_last=SNAPSHOT_RETENTION)
     finally:
         parsed.unpersist()
     return n

@@ -249,3 +249,40 @@ def test_stream_sessions_match_batch_and_resume(spark, tmp_path):
     assert got2.exceptAll(batch).count() == 0
     # no duplicate sessions across batches (exactly-once)
     assert got2.count() == got2.dropDuplicates(["user_id", "start_us"]).count()
+
+
+def test_snapshot_time_travel_and_expiry(spark, tmp_path):
+    """Iceberg-snapshot analog: read_dict_sink(as_of_batch=N) reproduces
+    the sink exactly as of micro-batch N through retained snapshot bases +
+    deltas; expire_snapshots reclaims history and time travel behind the
+    horizon fails loudly instead of silently undercounting."""
+    from clp_spark.streaming.ingest import compact_dict_sink as compact
+    from clp_spark.streaming.ingest import expire_snapshots, read_dict_sink
+
+    sink = str(tmp_path / "counts_logtype")
+    t = load_transcripts(spark, SF_DIR)
+    counts = P.per_logtype_counts(P.parse_encode(t)).persist()
+    expected = {r["logtype"]: r["cnt"] for r in counts.collect()}
+
+    def got(**kw):
+        return {r["logtype"]: r["cnt"] for r in read_dict_sink(spark, sink, **kw).collect()}
+
+    write_dict_delta(counts, sink, 0)
+    write_dict_delta(counts, sink, 1)
+    compact(spark, sink)  # snapshot A: folds 0..1
+    write_dict_delta(counts, sink, 2)
+    compact(spark, sink)  # snapshot B: folds 0..2
+    write_dict_delta(counts, sink, 3)  # live delta on top
+
+    for n, mult in [(0, 1), (1, 2), (2, 3), (3, 4)]:
+        assert got(as_of_batch=n) == {k: mult * v for k, v in expected.items()}, n
+    assert got() == {k: 4 * v for k, v in expected.items()}
+
+    assert expire_snapshots(sink, keep_last=1) == 1  # drop snapshot A
+    for stale in (0, 1):
+        with pytest.raises(ValueError):
+            read_dict_sink(spark, sink, as_of_batch=stale)
+    assert got(as_of_batch=2) == {k: 3 * v for k, v in expected.items()}
+    assert got(as_of_batch=3) == {k: 4 * v for k, v in expected.items()}
+    assert got() == {k: 4 * v for k, v in expected.items()}
+    counts.unpersist()
