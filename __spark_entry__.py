@@ -27,6 +27,7 @@ from clp_spark.plans.grep import (
 from clp_spark.plans.kql import kql_filter
 from clp_spark.functions.wildcard import wildcard_to_regex
 from clp_spark.functions import text_metrics as TM
+from clp_spark.operators import asof as ASOF
 from clp_spark.operators import dedup as DD
 from clp_spark.operators import cluster as CL
 from clp_spark.operators import sessionize as SESS
@@ -548,6 +549,28 @@ def q_sessionize(spark, sf_dir):
     return SESS.session_stats(e, gap_minutes=SESSION_GAP_MINUTES)
 
 
+def q_asof_enrich(spark, sf_dir):
+    """As-of (SCD-2 / point-in-time) dimension enrich: each non-signup
+    event joined to the user's LATEST signup version at-or-before it
+    (`operators/asof.py`, broadcast strategy — zero shuffle of the fact
+    table). Oracle: DuckDB's native ASOF LEFT JOIN, an independent engine's
+    implementation of the same semantics. The matched version timestamp is
+    surfaced as NTZ-frame epoch micros so the value hash is bit-exact."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dim = e.where(F.col("event_type") == "signup").select("user_id", "ts", "value")
+    facts = e.where(F.col("event_type") != "signup").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = ASOF.asof_join(facts, dim, on="user_id", strategy="broadcast")
+    return out.select(
+        "event_id",
+        "user_id",
+        "value",
+        SESS._us(F.col("asof_ts")).alias("asof_us"),
+        "asof_value",
+    )
+
+
 def q_neardup_clusters(spark, sf_dir):
     """Near-duplicate CLUSTER assignment (the keep/drop curation step):
     n-gram Jaccard pairs -> alternating large-star/small-star connected
@@ -561,6 +584,16 @@ def q_neardup_clusters(spark, sf_dir):
 def q_minhash_lsh_dups(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return DD.minhash_lsh_pairs(d, threshold=JACCARD_THRESHOLD).select("id_a", "id_b")
+
+
+def q_neardup_clusters_lsh(spark, sf_dir):
+    """The SCALE path of cluster assignment: connected components fed by
+    MinHash-LSH verified pairs instead of the quadratic exact n-gram
+    emitter (rows-only; parity with the exact-fed clustering is an oracle
+    row inside operator_invariants — ok_clusters)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = DD.minhash_lsh_pairs(d, threshold=JACCARD_THRESHOLD).select("id_a", "id_b")
+    return CL.neardup_clusters(d, pairs=pairs)
 
 
 def q_simhash(spark, sf_dir):
@@ -694,8 +727,24 @@ def q_operator_invariants(spark, sf_dir):
         .crossJoin(q_signature_determinism_check(spark, sf_dir))
         .crossJoin(q_ann_lsh_exactmatch_check(spark, sf_dir))
         .crossJoin(q_ann_ivf_exactmatch_check(spark, sf_dir))
+        .crossJoin(q_clusters_lsh_parity_check(spark, sf_dir))
     )
     return row
+
+
+def q_clusters_lsh_parity_check(spark, sf_dir):
+    """LSH-fed clustering == exact-n-gram-fed clustering (full symmetric
+    set difference of (doc_id, cluster_id) assignments). Both pair emitters
+    verify candidates with exact Jaccard >= threshold, so parity holds
+    exactly when LSH misses no true pair — the same completeness the
+    lsh_superset_check row proves at the pair level, lifted through
+    connected components to the cluster level. Output: ok_clusters = 1."""
+    a = q_neardup_clusters(spark, sf_dir)
+    b = q_neardup_clusters_lsh(spark, sf_dir)
+    diff = a.exceptAll(b).unionByName(b.exceptAll(a))
+    return diff.agg(
+        F.when(F.count("*") == 0, F.lit(1)).otherwise(F.lit(0)).alias("ok_clusters")
+    )
 
 
 def q_ann_topk(spark, sf_dir):
@@ -713,6 +762,25 @@ def q_ann_topk_ivf(spark, sf_dir):
     return SIM.ann_topk_ivf(
         e, _query_vec(spark, sf_dir), k=10, n_centroids=8, nprobe=3
     )
+
+
+KNN_K = 5
+
+
+def q_knn_join(spark, sf_dir):
+    """Batch k-NN self-join, exact scoring (the oracle path): top-5 cosine
+    neighbors of EVERY vector. Oracle: quadratic self-join + row_number in
+    DuckDB. The IVF-blocked scale path is q_knn_join_ivf (rows-only; its
+    full-probe equivalence to this exact result is pinned in pytest)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SIM.knn_join(e, k=KNN_K, exact=True)
+
+
+def q_knn_join_ivf(spark, sf_dir):
+    """IVF-blocked k-NN join (the scale path): candidates per query shrink
+    to ~nprobe/n_centroids of the table before the exact re-rank."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SIM.knn_join(e, k=KNN_K, n_centroids=8, nprobe=2, dim=EMB_DIM)
 
 
 def q_cosine_neardup(spark, sf_dir):
@@ -778,6 +846,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "neardup_clusters": q_neardup_clusters,
         "sessionize": q_sessionize,
+        "asof_enrich": q_asof_enrich,
+        "knn_join": q_knn_join,
         # ORDERING CONTRACT (VERDICT r2 item 2): the driver records
         # correctness rows for only the FIRST 50 queries() entries — every
         # oracle-bearing query must sit above this comment block; rows-only
@@ -796,6 +866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": q_ann_topk_lsh,
         "cosine_neardup": q_cosine_neardup,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "neardup_clusters_lsh": q_neardup_clusters_lsh,
+        "knn_join_ivf": q_knn_join_ivf,
     }
 
 
@@ -1234,12 +1306,41 @@ FROM s GROUP BY 1, 2"""
             f"SELECT vec_id, round({_COS_EXPR}, 6) AS sim FROM embeddings "
             "ORDER BY sim DESC, vec_id LIMIT 10"
         ),
+        "knn_join": (
+            """WITH sims AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+    round(
+      list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+        p -> cast(p[1] as double) * cast(p[2] as double)), 'sum')
+      / (sqrt(list_aggregate(list_transform(a.embedding,
+               x -> cast(x as double) * cast(x as double)), 'sum'))
+       * sqrt(list_aggregate(list_transform(b.embedding,
+               x -> cast(x as double) * cast(x as double)), 'sum'))), 6) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT vec_id, nbr_id, sim,
+    cast(row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id) as int) AS rank
+  FROM sims
+)
+SELECT vec_id, nbr_id, rank, sim FROM ranked WHERE rank <= 5"""
+        ),
         # invariant companions for the signature-based (rows-only) queries:
         # the PROPERTY is SQL-trivial even though the signatures are not
         "operator_invariants": (
             "SELECT cast(0 as bigint) AS missed, cast(0 as bigint) AS diff, "
             "cast(0 as bigint) AS bad, cast(0 as bigint) AS violations, "
-            "1 AS ok, 1 AS ok_ivf"
+            "1 AS ok, 1 AS ok_ivf, 1 AS ok_clusters"
+        ),
+        "asof_enrich": (
+            """WITH dim AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'signup'
+), f AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type <> 'signup'
+)
+SELECT f.event_id, f.user_id, f.value,
+       epoch_us(d.ts) AS asof_us, d.value AS asof_value
+FROM f ASOF LEFT JOIN dim d
+  ON f.user_id = d.user_id AND f.ts >= d.ts"""
         ),
         # minhash_lsh_dups / simhash / fingerprint / ann_topk_lsh: hash- or
         # signature-based (not ANSI-SQL-expressible) -> driver rows-only check.

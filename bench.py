@@ -37,12 +37,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # Replicate the transcript corpus for the scaling probe so the parallel
-# region dominates fixed costs (100k turns x REPL). 120 (12M turns): each
-# Spark job carries ~2.3s of fixed driver/setup cost (measured: broadcast
-# build, job scheduling, commit renames); at 4M turns that cost alone caps
-# N->4N efficiency at ~0.75 even when the parallel region scales perfectly,
-# which mis-measures the 10^12-turn regime the metric targets.
-SCALE_REPLICATE = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", "120"))
+# region dominates fixed costs (100k turns x REPL). Each Spark job carries
+# ~4s of fixed driver/setup cost (measured r3: solve F + W/N from the two
+# probe points -> F≈4.2s, W≈98s at 12M turns); that fixed share alone caps
+# measurable 2->8 efficiency at ~0.81 at 12M turns even when the parallel
+# region scales perfectly — mis-measuring the 10^12-turn regime the metric
+# targets. 240 (24M turns) lifts the fixed-cost ceiling to ~0.89.
+SCALE_REPLICATE = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", "240"))
 # N and 4N for the scaling criterion. 2 vs 8 by default: this VM shares ONE
 # memory bus across all threads, and bandwidth saturates ~16 concurrent
 # Python/numpy workers (pure multiprocessing of the tokenizer alone: 1.00
@@ -78,6 +79,9 @@ HEADLINE = [
     "token_counts",
     "ann_topk",
     "sessionize",
+    "asof_enrich",
+    "neardup_clusters_lsh",
+    "knn_join_ivf",
 ]
 
 
@@ -147,7 +151,7 @@ def scale_probe() -> None:
 
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
-    trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
+    trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2"))
     res = run_ingest(spark, SF_DIR, replicate=SCALE_REPLICATE, trials=trials,
                      only_steps={"messages"}, agg="median")
     res["cpus"] = CPUS
@@ -210,11 +214,15 @@ def preflight_scaling(reps: int = 12) -> dict | None:
         return None
 
 
-def _one_probe(cpus: int) -> dict | None:
+def _one_probe(cpus: int, replicate: int | None = None, trials: int | None = None) -> dict | None:
     import shutil as _sh
 
     time.sleep(8)  # let the previous JVM's shutdown + page flush settle
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    if replicate is not None:
+        env["SPARK_GRAFT_SCALE_REPLICATE"] = str(replicate)
+    if trials is not None:
+        env["SPARK_GRAFT_SCALE_TRIALS"] = str(trials)
     # pin the probe's whole process tree to `cpus` physical cores: the
     # measurement then reflects an N-core machine rather than N floating
     # threads on a 32-core box (less scheduler-migration noise)
@@ -247,6 +255,14 @@ def run_scaling() -> dict | None:
     to vary local[N]); each runs warmup + median-of-3 trials."""
     pairs = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
     ratio = SCALE_HI / SCALE_LO
+    # One DISCARDED warmup pair at reduced size first: measured pair
+    # efficiencies trend monotonically upward within a run (r3 example:
+    # 0.603, 0.757, 0.99) as OS page cache, cpufreq governor and JIT state
+    # settle — the same reason run_ingest does an untimed warmup run. The
+    # warmup pair absorbs that transient so the measured pairs start from
+    # the settled state.
+    _one_probe(SCALE_LO, replicate=max(SCALE_REPLICATE // 4, 1), trials=1)
+    _one_probe(SCALE_HI, replicate=max(SCALE_REPLICATE // 4, 1), trials=1)
     runs = []
     for _ in range(pairs):
         lo = _one_probe(SCALE_LO)

@@ -260,6 +260,120 @@ def ann_topk_ivf(
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
 
+def ivf_probes(
+    df: DataFrame,
+    centroids: np.ndarray,
+    nprobe: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cluster) rows for each vector's `nprobe` NEAREST clusters —
+    the query side of a k-NN join (ivf_assign is the nprobe=1 special case
+    and stays the index side). One numpy matmul + argsort per Arrow batch."""
+    from pyspark.sql.types import IntegerType
+
+    c = np.asarray(centroids, dtype=np.float64)
+    p = min(nprobe, len(c))
+    schema = StructType(
+        [StructField("id", LongType()), StructField("cluster", LongType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            # stable top-p clusters by descending dot product
+            order = np.argsort(-(mat @ c.T), axis=1, kind="stable")[:, :p]
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf[id_col].to_numpy(), p),
+                    "cluster": order.reshape(-1).astype(np.int64),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(run, schema=schema)
+
+
+def knn_join(
+    df: DataFrame,
+    k: int = 5,
+    exact: bool = False,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    centroids: np.ndarray | None = None,
+    dim: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batch k-NN self-join: the top-k cosine neighbors of EVERY vector
+    (vec_id, nbr_id, rank, sim) — the all-pairs workload behind embedding
+    dedup, retrieval-index QA and hard-negative mining, where `cosine_topk`
+    answers only one query at a time.
+
+    Scale path (default): IVF-blocked — train the coarse quantizer once,
+    give every vector its own cluster on the index side (`ivf_assign`) and
+    its `nprobe` nearest clusters on the query side (`ivf_probes`), join on
+    cluster, exact cosine re-rank, rank with one window. Candidates per
+    query drop to ~nprobe/n_centroids of the table; each (query, neighbor)
+    pair can match at most once (the neighbor has exactly ONE index row),
+    so no dedup shuffle is needed. Full probe (nprobe >= n_centroids)
+    degenerates to the exact join — pinned in pytest.
+
+    `exact=True` skips IVF entirely and scores all n^2 pairs — the oracle
+    path; at 10^12 rows exact all-pairs kNN is not a thing any engine does,
+    use the IVF path (or cosine_neardup_pairs for threshold workloads).
+
+    Ranking is over round(sim, 6) with nbr_id tiebreak, the same
+    determinism discipline as cosine_topk, so engines agree bit-exactly.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.types import IntegerType
+
+    if exact:
+        cand = (
+            df.select(F.col(id_col).alias("id_q"))
+            .crossJoin(df.select(F.col(id_col).alias("id_i")))
+            .where(F.col("id_q") != F.col("id_i"))
+        )
+    else:
+        if centroids is None:
+            if dim is None:
+                dim = len(df.select(vec_col).first()[0])
+            centroids = ivf_centroids(df, dim, n_centroids, iters, vec_col, id_col)
+        probes = ivf_probes(df, centroids, nprobe, vec_col, id_col)
+        assigned = ivf_assign(df, centroids, vec_col, id_col)
+        cand = (
+            probes.select(F.col("id").alias("id_q"), "cluster")
+            .join(assigned.select(F.col("id").alias("id_i"), "cluster"), "cluster")
+            .where(F.col("id_q") != F.col("id_i"))
+            .select("id_q", "id_i")
+        )
+    vecs = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    paired = cand.join(
+        vecs.withColumnRenamed("vid", "id_q").withColumnRenamed("v", "v_q"), "id_q"
+    ).join(vecs.withColumnRenamed("vid", "id_i").withColumnRenamed("v", "v_i"), "id_i")
+    dot = (
+        "aggregate(zip_with(v_q, v_i, (x, y) -> cast(x as double) * cast(y as double)), "
+        "cast(0.0 as double), (s, v) -> s + v)"
+    )
+    sim = F.expr(f"{dot} / ({_norm_expr('v_q')} * {_norm_expr('v_i')})")
+    w = Window.partitionBy("id_q").orderBy(F.desc("sim"), F.col("id_i"))
+    return (
+        paired.withColumn("sim", F.round(sim, 6))
+        .withColumn("rank", F.row_number().over(w).cast(IntegerType()))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("id_q").alias(id_col),
+            F.col("id_i").alias("nbr_id"),
+            "rank",
+            "sim",
+        )
+    )
+
+
 def banded_hyperplane_buckets(
     df: DataFrame,
     dim: int,
