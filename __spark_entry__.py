@@ -28,6 +28,7 @@ from clp_spark.plans.kql import kql_filter
 from clp_spark.functions.wildcard import wildcard_to_regex
 from clp_spark.functions import text_metrics as TM
 from clp_spark.operators import asof as ASOF
+from clp_spark.operators import curation as CU
 from clp_spark.operators import dedup as DD
 from clp_spark.operators import cluster as CL
 from clp_spark.operators import sessionize as SESS
@@ -537,6 +538,33 @@ def q_ngram_jaccard_dups(spark, sf_dir):
     return DD.ngram_jaccard_pairs(d, threshold=JACCARD_THRESHOLD, k=JACCARD_K)
 
 
+def q_split_counts(spark, sf_dir):
+    """Deterministic train/val/test hash split (operators/curation.py),
+    audited per language stratum. md5-prefix bucketing is engine-portable,
+    so the DuckDB oracle recomputes the assignment independently."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return CU.hash_split(d).groupBy("split", "lang").agg(F.count("*").alias("n"))
+
+
+def q_vocab_top50(spark, sf_dir):
+    """Top-50 corpus vocabulary (token, n_occurrences, n_docs) — the
+    tokenizer-training frequency floor; map-side combinable count +
+    TakeOrderedAndProject."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return CU.token_vocab(d, k=50)
+
+
+def q_contamination_bench(spark, sf_dir):
+    """Benchmark-contamination report: training docs (doc_id % 20 != 0)
+    sharing any word 8-gram with the held-out benchmark docs
+    (doc_id % 20 = 0). Broadcast of the small bench-gram set; the training
+    corpus is scanned, never shuffled."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return CU.contamination(
+        d.where("doc_id % 20 != 0"), d.where("doc_id % 20 = 0"), n=8
+    )
+
+
 SESSION_GAP_MINUTES = 480.0  # 8 h; the events corpus has ~7 h median inter-event gap
 
 
@@ -868,6 +896,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "neardup_clusters_lsh": q_neardup_clusters_lsh,
         "knn_join_ivf": q_knn_join_ivf,
+        # ---- oracle-bearing but PAST the driver's 50-row window: the first
+        # 50 slots are all oracle-bearing already, so these overflow entries
+        # get their DuckDB parity from tests/test_parity_full.py instead
+        # (same compare discipline as the driver: sorted columns, normalized
+        # values) ----
+        "split_counts": q_split_counts,
+        "vocab_top50": q_vocab_top50,
+        "contamination_bench": q_contamination_bench,
     }
 
 
@@ -1341,6 +1377,41 @@ SELECT f.event_id, f.user_id, f.value,
        epoch_us(d.ts) AS asof_us, d.value AS asof_value
 FROM f ASOF LEFT JOIN dim d
   ON f.user_id = d.user_id AND f.ts >= d.ts"""
+        ),
+        # past-the-window curation oracles (verified by
+        # tests/test_parity_full.py; see the queries() ordering note)
+        "split_counts": (
+            """SELECT CASE
+  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+  ELSE 'test' END AS split, lang, count(*) AS n
+FROM documents GROUP BY 1, 2"""
+        ),
+        "vocab_top50": (
+            """WITH tok AS (
+  SELECT doc_id, unnest(list_filter(
+    regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS token
+  FROM documents
+)
+SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+FROM tok GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 50"""
+        ),
+        "contamination_bench": (
+            """WITH toks AS (
+  SELECT doc_id, list_filter(
+    regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(
+    generate_series(1, greatest(len(ts) - 7, 0)),
+    i -> array_to_string(list_slice(ts, i, i + 7), ' '))) AS ngram
+  FROM toks
+), bench AS (
+  SELECT DISTINCT ngram FROM grams WHERE doc_id % 20 = 0
+)
+SELECT g.doc_id AS id, count(*) AS n_hits
+FROM grams g JOIN bench b USING (ngram)
+WHERE g.doc_id % 20 <> 0 GROUP BY 1"""
         ),
         # minhash_lsh_dups / simhash / fingerprint / ann_topk_lsh: hash- or
         # signature-based (not ANSI-SQL-expressible) -> driver rows-only check.

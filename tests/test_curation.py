@@ -1,0 +1,119 @@
+"""Tests for training-corpus curation operators (operators/curation.py):
+deterministic hash split, vocabulary build, contamination check, PII
+redaction."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from clp_spark.operators import curation as CU
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_hash_split_total_disjoint_and_sized(spark):
+    d = CU.hash_split(_docs(spark))
+    counts = {r["split"]: r["n"] for r in d.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = sum(counts.values())
+    assert n == _docs(spark).count()
+    assert set(counts) == {"train", "val", "test"}
+    # md5 uniformity: 80/10/10 within a generous tolerance at 500 docs
+    assert 0.7 <= counts["train"] / n <= 0.9
+    assert 0.04 <= counts["val"] / n <= 0.17
+    assert 0.04 <= counts["test"] / n <= 0.17
+
+
+def test_hash_split_per_row_independent(spark):
+    """The property that makes incremental corpus growth safe: assignment
+    of a doc does not depend on which other docs are present."""
+    full = {r["doc_id"]: r["split"] for r in CU.hash_split(_docs(spark)).collect()}
+    sub = CU.hash_split(_docs(spark).where("doc_id % 7 = 0"))
+    for r in sub.collect():
+        assert full[r["doc_id"]] == r["split"]
+
+
+def test_token_vocab_matches_python(spark):
+    d = _docs(spark)
+    got = CU.token_vocab(d, k=10).collect()
+    from collections import Counter
+
+    occ = Counter()
+    docs = {}
+    for r in d.select("doc_id", "text").collect():
+        toks = [t for t in re.split("[^a-z0-9]+", r["text"].lower()) if t]
+        occ.update(toks)
+        for t in set(toks):
+            docs[t] = docs.get(t, 0) + 1
+    want = sorted(occ.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r["token"], r["n_occurrences"], r["n_docs"]) for r in got] == [
+        (t, c, docs[t]) for t, c in want
+    ]
+
+
+def test_word_ngrams_short_rows_empty(spark):
+    d = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y"), (3, "")], "doc_id long, text string"
+    )
+    got = CU.word_ngrams(d, n=3).collect()
+    grams = {(r["id"], r["ngram"]) for r in got}
+    assert grams == {(1, "a b c"), (1, "b c d"), (1, "c d e")}
+
+
+def test_contamination_matches_python(spark):
+    d = _docs(spark)
+    bench = d.where("doc_id % 20 = 0")
+    train = d.where("doc_id % 20 != 0")
+    got = {(r["id"], r["n_hits"]) for r in CU.contamination(train, bench, n=8).collect()}
+
+    def grams(text, n=8):
+        toks = [t for t in re.split("[^a-z0-9]+", text.lower()) if t]
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    bg = set()
+    for r in bench.select("text").collect():
+        bg |= grams(r["text"])
+    want = set()
+    for r in train.select("doc_id", "text").collect():
+        hits = len(grams(r["text"]) & bg)
+        if hits:
+            want.add((r["doc_id"], hits))
+    assert got == want
+
+
+def test_contamination_broadcasts_bench_side(spark):
+    d = _docs(spark)
+    plan = CU.contamination(
+        d.where("doc_id % 20 != 0"), d.where("doc_id % 20 = 0")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pii_redact_and_stats(spark):
+    rows = [
+        (1, "contact bob.smith+x@corp.example.com or 10.1.2.3 now"),
+        (2, "call +1-800-555-1234 re 192.168.0.1 and a@b.io c@d.org"),
+        (3, "clean text with no identifiers at all"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = CU.pii_stats(d).collect()[0].asDict()
+    assert stats["docs_email"] == 2 and stats["mentions_email"] == 3
+    assert stats["docs_ipv4"] == 2 and stats["mentions_ipv4"] == 2
+    assert stats["docs_phone"] == 1
+    red = CU.pii_redact(d)
+    after = CU.pii_stats(red).collect()[0].asDict()
+    assert all(v == 0 for v in after.values()), after
+    texts = {r["doc_id"]: r["text"] for r in red.collect()}
+    assert texts[1] == "contact <EMAIL> or <IPV4> now"
+    assert texts[3] == rows[2][1]
+
+
+def test_pii_plan_is_pure_codegen(spark):
+    d = _docs(spark)
+    plan = CU.pii_redact(d)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
