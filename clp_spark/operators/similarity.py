@@ -313,24 +313,46 @@ def knn_join(
     dedup, retrieval-index QA and hard-negative mining, where `cosine_topk`
     answers only one query at a time.
 
-    Scale path (default): IVF-blocked — train the coarse quantizer once,
-    give every vector its own cluster on the index side (`ivf_assign`) and
-    its `nprobe` nearest clusters on the query side (`ivf_probes`), join on
-    cluster, exact cosine re-rank, rank with one window. Candidates per
-    query drop to ~nprobe/n_centroids of the table; each (query, neighbor)
-    pair can match at most once (the neighbor has exactly ONE index row),
-    so no dedup shuffle is needed. Full probe (nprobe >= n_centroids)
+    Scale path (default): IVF-blocked GEMM — the FAISS IVFFlat shape on
+    Spark. Train the coarse quantizer once; the index side gets ONE row per
+    vector (its nearest cluster, `ivf_assign` semantics), the query side
+    `nprobe` rows (its nearest clusters, `ivf_probes` semantics), both
+    CARRYING their vector. The two sides cogroup on cluster and each block
+    scores with one numpy float64 matmul (Qn @ In.T), keeping only that
+    block's top-k per query — so the only shuffle is the cluster cogroup,
+    per-pair rows NEVER materialize (the earlier per-pair join with a
+    Catalyst higher-order dot product spent ~17 s on 1M candidates at
+    sf0.1; the blocked matmul does the same work in milliseconds), and the
+    global window ranks at most n * nprobe * k tiny rows. Each (query,
+    neighbor) pair occurs at most once (the neighbor has exactly ONE index
+    row), so no dedup is needed. Full probe (nprobe >= n_centroids)
     degenerates to the exact join — pinned in pytest.
 
-    `exact=True` skips IVF entirely and scores all n^2 pairs — the oracle
-    path; at 10^12 rows exact all-pairs kNN is not a thing any engine does,
-    use the IVF path (or cosine_neardup_pairs for threshold workloads).
+    Block sizing at scale: a cluster block materializes (nq_probe + n/kc)
+    rows in one pandas group — size n_centroids ~ sqrt(n) (the standard
+    IVF operating point) so blocks stay executor-sized; spherical k-means
+    keeps them near-uniform.
+
+    `exact=True` skips IVF entirely and scores all n^2 pairs via the
+    Catalyst expression path — the oracle path (kept JVM-side so the
+    driver-recorded DuckDB row compares two independent engines); at 10^12
+    rows exact all-pairs kNN is not a thing any engine does, use the IVF
+    path (or cosine_neardup_pairs for threshold workloads).
 
     Ranking is over round(sim, 6) with nbr_id tiebreak, the same
-    determinism discipline as cosine_topk, so engines agree bit-exactly.
+    determinism discipline as cosine_topk, so engines (and the numpy vs
+    JVM scorers) agree bit-exactly.
     """
     from pyspark.sql import Window
-    from pyspark.sql.types import IntegerType
+    from pyspark.sql.types import DoubleType, IntegerType
+
+    w = Window.partitionBy("id_q").orderBy(F.desc("sim"), F.col("id_i"))
+    out_cols = (
+        F.col("id_q").alias(id_col),
+        F.col("id_i").alias("nbr_id"),
+        "rank",
+        "sim",
+    )
 
     if exact:
         cand = (
@@ -338,39 +360,95 @@ def knn_join(
             .crossJoin(df.select(F.col(id_col).alias("id_i")))
             .where(F.col("id_q") != F.col("id_i"))
         )
-    else:
-        if centroids is None:
-            if dim is None:
-                dim = len(df.select(vec_col).first()[0])
-            centroids = ivf_centroids(df, dim, n_centroids, iters, vec_col, id_col)
-        probes = ivf_probes(df, centroids, nprobe, vec_col, id_col)
-        assigned = ivf_assign(df, centroids, vec_col, id_col)
-        cand = (
-            probes.select(F.col("id").alias("id_q"), "cluster")
-            .join(assigned.select(F.col("id").alias("id_i"), "cluster"), "cluster")
-            .where(F.col("id_q") != F.col("id_i"))
-            .select("id_q", "id_i")
+        vecs = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+        paired = cand.join(
+            vecs.withColumnRenamed("vid", "id_q").withColumnRenamed("v", "v_q"), "id_q"
+        ).join(vecs.withColumnRenamed("vid", "id_i").withColumnRenamed("v", "v_i"), "id_i")
+        dot = (
+            "aggregate(zip_with(v_q, v_i, (x, y) -> cast(x as double) * cast(y as double)), "
+            "cast(0.0 as double), (s, v) -> s + v)"
         )
-    vecs = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
-    paired = cand.join(
-        vecs.withColumnRenamed("vid", "id_q").withColumnRenamed("v", "v_q"), "id_q"
-    ).join(vecs.withColumnRenamed("vid", "id_i").withColumnRenamed("v", "v_i"), "id_i")
-    dot = (
-        "aggregate(zip_with(v_q, v_i, (x, y) -> cast(x as double) * cast(y as double)), "
-        "cast(0.0 as double), (s, v) -> s + v)"
+        sim = F.expr(f"{dot} / ({_norm_expr('v_q')} * {_norm_expr('v_i')})")
+        return (
+            paired.withColumn("sim", F.round(sim, 6))
+            .withColumn("rank", F.row_number().over(w).cast(IntegerType()))
+            .where(F.col("rank") <= k)
+            .select(*out_cols)
+        )
+
+    if centroids is None:
+        if dim is None:
+            dim = len(df.select(vec_col).first()[0])
+        centroids = ivf_centroids(df, dim, n_centroids, iters, vec_col, id_col)
+    c = np.asarray(centroids, dtype=np.float64)
+    p = min(nprobe, len(c))
+
+    probe_schema = StructType(
+        [
+            StructField("cluster", LongType()),
+            StructField("id", LongType()),
+            StructField("vec", ArrayType(DoubleType())),
+        ]
     )
-    sim = F.expr(f"{dot} / ({_norm_expr('v_q')} * {_norm_expr('v_i')})")
-    w = Window.partitionBy("id_q").orderBy(F.desc("sim"), F.col("id_i"))
-    return (
-        paired.withColumn("sim", F.round(sim, 6))
-        .withColumn("rank", F.row_number().over(w).cast(IntegerType()))
-        .where(F.col("rank") <= k)
-        .select(
-            F.col("id_q").alias(id_col),
-            F.col("id_i").alias("nbr_id"),
-            "rank",
-            "sim",
+
+    def side(n_top: int):
+        """mapInPandas producing (cluster, id, vec) rows: the vector's
+        n_top nearest clusters (1 = index side, nprobe = query side)."""
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+                order = np.argsort(-(mat @ c.T), axis=1, kind="stable")[:, :n_top]
+                yield pd.DataFrame(
+                    {
+                        "cluster": order.reshape(-1).astype(np.int64),
+                        "id": np.repeat(pdf[id_col].to_numpy(), n_top),
+                        "vec": list(np.repeat(mat, n_top, axis=0)),
+                    }
+                )
+
+        return df.select(id_col, vec_col).mapInPandas(run, schema=probe_schema)
+
+    def score_block(qpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(qpdf) or not len(ipdf):
+            return pd.DataFrame({"id_q": [], "id_i": [], "sim": []}).astype(
+                {"id_q": "int64", "id_i": "int64", "sim": "float64"}
+            )
+        qids = qpdf["id"].to_numpy(dtype=np.int64)
+        iids = ipdf["id"].to_numpy(dtype=np.int64)
+        # pre-order index columns by id so a STABLE argsort breaks sim
+        # ties by ascending neighbor id — same order as the SQL window
+        iorder = np.argsort(iids, kind="stable")
+        iids = iids[iorder]
+        qm = np.stack(qpdf["vec"].to_numpy())
+        im = np.stack(ipdf["vec"].to_numpy())[iorder]
+        sims = np.round(qm @ im.T, 6)
+        sims[qids[:, None] == iids[None, :]] = -np.inf  # exclude self
+        kk = min(k, im.shape[0])
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        simk = np.take_along_axis(sims, top, axis=1).reshape(-1)
+        keep = simk != -np.inf
+        return pd.DataFrame(
+            {
+                "id_q": np.repeat(qids, kk)[keep],
+                "id_i": iids[top.reshape(-1)][keep],
+                "sim": simk[keep],
+            }
         )
+
+    scored = (
+        side(p)
+        .groupBy("cluster")
+        .cogroup(side(1).groupBy("cluster"))
+        .applyInPandas(score_block, schema="id_q long, id_i long, sim double")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast(IntegerType()))
+        .where(F.col("rank") <= k)
+        .select(*out_cols)
     )
 
 
