@@ -60,6 +60,23 @@ MESSAGE_COLUMNS = [
     "conv_id", "turn_idx", "ts", "role", "tool", "logtype_id", "encoded_vars",
 ]
 
+# Parquet BLOOM FILTER on logtype_id for the messages sink: the
+# segment-index prune the reference keeps per segment (clp Query.cpp
+# make_sub_queries_relevant_to_segment; SURVEY §4.1 "covered via table
+# properties"). search() probes messages with logtype_id.isin(candidates)
+# and ids are content HASHES — no clustering, so row-group min/max can
+# never skip for them. parquet-mr's skip ladder then is: row groups whose
+# chunk is fully dictionary-encoded are skipped via the dictionary page
+# itself (exact membership — the small-corpus regime, asserted in tests);
+# once cardinality outgrows the dictionary (the 100-TB regime) the writer
+# falls back to plain pages and THIS bloom (~6 KiB/row group) takes over
+# the row-group skip. Same option surface works for any engine reading the
+# archive.
+MESSAGES_PARQUET_OPTIONS = {
+    "parquet.bloom.filter.enabled#logtype_id": "true",
+    "parquet.bloom.filter.expected.ndv#logtype_id": "32768",
+}
+
 
 def _manifest_path(out_dir: str) -> str:
     return os.path.join(out_dir, MANIFEST)
@@ -194,6 +211,7 @@ def ingest(
             _commit(
                 lambda d: msgs.sortWithinPartitions("logtype_bucket")
                 .write.mode("overwrite")
+                .options(**MESSAGES_PARQUET_OPTIONS)
                 .partitionBy("logtype_bucket")
                 .parquet(d),
                 out_dir,
