@@ -286,3 +286,101 @@ def test_snapshot_time_travel_and_expiry(spark, tmp_path):
     assert got(as_of_batch=3) == {k: 4 * v for k, v in expected.items()}
     assert got() == {k: 4 * v for k, v in expected.items()}
     counts.unpersist()
+
+
+def test_stream_dedup_first_seen_across_batches(spark, tmp_path):
+    """Streaming exact dedup (streaming/dedup.py): duplicates re-sent in
+    LATER micro-batches are suppressed by dedup state; first-seen rows pass
+    exactly once. Also pins the batch degenerate case and the content-key
+    variant."""
+    from clp_spark.streaming.dedup import dedup_stream
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i % 6}", i % 6) for i in range(12)],
+        "doc_id long, text string, grp long",
+    ).withColumn("ts", F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id") * 60))
+
+    # batch degenerate case: all-time dedup == distinct on the key
+    assert dedup_stream(docs, ("grp",)).count() == 6
+    # content-key variant: 6 distinct texts
+    assert dedup_stream(docs, content_key=True).count() == 6
+
+    inp = str(tmp_path / "in")
+    # file 0 carries doc_ids 0-5 (all 6 texts), file 1 re-sends the same
+    # texts with new doc_ids -> every row of a later batch is a duplicate
+    docs.where("doc_id < 6").coalesce(1).write.parquet(inp)
+    docs.where("doc_id >= 6").coalesce(1).write.mode("append").parquet(inp)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    out = str(tmp_path / "out")
+    q = (
+        dedup_stream(stream, content_key=True)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 6
+    assert {r["text"] for r in got.collect()} == {f"text {i}" for i in range(6)}
+    # first-seen wins: surviving doc_ids are all from the first file
+    assert got.agg(F.max("doc_id")).first()[0] < 6
+
+
+def test_stream_dedup_within_watermark_bounds_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark mode: duplicates inside the horizon are
+    suppressed; a re-send far past the horizon is treated as new (bounded
+    state is the at-scale contract)."""
+    from clp_spark.streaming.dedup import dedup_stream
+
+    rows = [
+        (1, "a", 0),      # t=0
+        (2, "a", 600),    # +10 min: duplicate inside horizon -> dropped
+        (3, "b", 1200),
+    ]
+    # eviction uses the OPERATIVE watermark (set at the END of the previous
+    # batch) and runs after a batch's rows are matched — so the re-send
+    # must arrive two batches after the watermark-advancing event:
+    advance1 = [(5, "c", 80000)]  # +22 h: watermark -> 76400 at batch end
+    advance2 = [(6, "d", 82000)]  # its batch EVICTS "a" (expiry 3600)
+    later = [(4, "a", 90000)]     # +25 h: state gone -> kept as new
+    schema = "doc_id long, text string, off long"
+
+    def mk(rs):
+        return spark.createDataFrame(rs, schema).withColumn(
+            "ts", F.timestamp_seconds(F.lit(1700000000) + F.col("off"))
+        ).drop("off")
+
+    inp = str(tmp_path / "in")
+    # three files -> three ordered micro-batches (watermark advances at the
+    # END of each batch, so eviction needs an intervening batch)
+    import time as _time
+
+    mk(rows).coalesce(1).write.parquet(inp)
+    for extra in (advance1, advance2, later):
+        _time.sleep(1.1)
+        mk(extra).coalesce(1).write.mode("append").parquet(inp)
+
+    stream = (
+        spark.readStream.schema(mk(rows).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    out = str(tmp_path / "out")
+    q = (
+        dedup_stream(stream, content_key=True, within="1 hour")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 3, 4, 5, 6], got  # 2 deduped; 4 kept after eviction
