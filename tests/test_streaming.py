@@ -384,3 +384,58 @@ def test_stream_dedup_within_watermark_bounds_state(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert got == [1, 3, 4, 5, 6], got  # 2 deduped; 4 kept after eviction
+
+
+def test_assign_turn_index_monotonic_across_batches(spark, tmp_path):
+    """applyInPandasWithState turn-index assignment (streaming/turn_index.py):
+    per-conversation indexes are dense, ts-ordered within a batch, and
+    CONTINUE across micro-batches from state — the property no built-in
+    (window row_number restarts per batch) can provide."""
+    import time as _time
+
+    from clp_spark.streaming.turn_index import assign_turn_index
+
+    schema = "conv_id string, off long, text string"
+
+    def mk(rs):
+        return spark.createDataFrame(rs, schema).withColumn(
+            "ts", F.timestamp_seconds(F.lit(1700000000) + F.col("off"))
+        ).drop("off")
+
+    inp = str(tmp_path / "in")
+    # batch 0: interleaved conversations, deliberately out of ts order
+    mk([("c1", 20, "c1-t1"), ("c2", 5, "c2-t0"), ("c1", 10, "c1-t0")]).coalesce(
+        1
+    ).write.parquet(inp)
+    _time.sleep(1.1)
+    # batch 1: both conversations continue
+    mk([("c1", 30, "c1-t2"), ("c2", 40, "c2-t1")]).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+
+    stream = (
+        spark.readStream.schema(mk([("c", 0, "t")]).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    out = str(tmp_path / "out")
+    q = (
+        assign_turn_index(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        ("c1", 0): "c1-t0",  # ts order inside batch 0, not arrival order
+        ("c1", 1): "c1-t1",
+        ("c1", 2): "c1-t2",  # continues from state in batch 1
+        ("c2", 0): "c2-t0",
+        ("c2", 1): "c2-t1",
+    }, got
