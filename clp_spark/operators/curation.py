@@ -104,20 +104,27 @@ def token_vocab(
     return agg.orderBy(F.desc("n_occurrences"), "token").limit(k)
 
 
-def word_ngrams(df: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def word_ngrams(
+    df: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """(id, ngram) pairs of word n-grams (space-joined, lowercased,
-    DISTINCT per doc). Rows with fewer than n tokens produce none."""
+    DISTINCT per doc). Rows with fewer than n tokens produce none.
+
+    The per-doc dedup is ROW-LOCAL (`array_distinct` before the explode):
+    an (id, ngram) pair can only repeat within one document's own gram
+    array, so this is exactly a `.distinct()` of the exploded pairs with
+    ZERO shuffle — the difference between scanning and re-sorting the
+    training corpus at 100 TB."""
     toks = _tokens(text_col)
     # guard: Spark's sequence(1, 0) yields DESCENDING [1, 0], not empty —
     # rows shorter than n tokens must produce an empty index list instead
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("ngram"))
-        .distinct()
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
     )
+    return df.select(F.col(id_col).alias("id"), F.explode(grams).alias("ngram"))
 
 
 def contamination(
