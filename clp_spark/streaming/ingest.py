@@ -252,7 +252,19 @@ def expire_snapshots(sink_dir: str, keep_last: int = 2) -> int:
     floor = keep[0]["max_batch"] + 1
     _write_base_meta(
         sink_dir,
-        {**meta, "snapshots": keep, "delta_floor": max(meta["delta_floor"], floor)},
+        {
+            **meta,
+            "snapshots": keep,
+            "delta_floor": max(meta["delta_floor"], floor),
+            # prune folded ids below the floor (their delta dirs are deleted
+            # right below, so no read path consults them again) — without
+            # this the meta grows one id per micro-batch FOREVER and every
+            # batch re-writes the full list (ADVICE r3). Unfolded ids below
+            # the floor are kept: their deltas stay on disk and stay live.
+            "merged_batches": sorted(
+                b for b in meta["merged_batches"] if b >= floor
+            ),
+        },
     )
     for s in drop:
         shutil.rmtree(os.path.join(sink_dir, s["base_dir"]), ignore_errors=True)

@@ -270,3 +270,26 @@ def test_messages_sink_rowgroup_skip_machinery(spark, archive, tmp_path):
     meta = _footer_chunk_meta(spark, sorted(glob.glob(d + "/*.parquet"))[0])
     assert meta["logtype_id"][0] > 0, meta
     assert meta["ts"][0] == -1, meta
+
+
+def test_codec_knob_applies_to_all_sinks(spark, tmp_path):
+    """Per-job compression codec (the reference's --compression knob,
+    clp/streaming_compression/): every sink's parquet pages carry the
+    selected codec; results are identical to the default-zstd archive."""
+    import pyarrow.parquet as pq
+    import glob
+
+    out = str(tmp_path / "gz")
+    t = load_transcripts(spark, SF_DIR)
+    I.ingest(spark, t, out, dim_role=dim_role(spark), dim_tool=dim_tool(spark),
+             codec="gzip")
+    for sink in ("messages", "logtype_dict", "var_dict", "counts_logtype"):
+        files = glob.glob(os.path.join(out, sink, "**", "*.parquet"),
+                          recursive=True)
+        assert files, sink
+        md = pq.ParquetFile(files[0]).metadata
+        codecs = {md.row_group(0).column(i).compression
+                  for i in range(md.num_columns)}
+        assert codecs == {"GZIP"}, (sink, codecs)
+    n = spark.read.parquet(os.path.join(out, "messages")).count()
+    assert n == load_transcripts(spark, SF_DIR).count()

@@ -376,6 +376,132 @@ def test_json_archive_timestamp_index_prunes(spark, tmp_path):
     assert none.count() == 0
 
 
+def test_json_archive_formatted_float_roundtrip_and_search(spark, tmp_path):
+    """FormattedFloat/DictionaryFloat (VERDICT r3 item 4): float leaves
+    round-trip BYTE-EXACTLY through the archive — valid formats via the
+    16-bit descriptor, invalid ones via the raw fallback (reference
+    fixtures test_{valid,invalid}_formatted_float.jsonl,
+    clp_s/ColumnWriter.hpp:102-133) — and numeric KQL search over the typed
+    double column matches the reference's search semantics
+    (test_search_formatted_float.jsonl)."""
+    from clp_spark.plans.semistructured import (
+        decode_json_floats,
+        float_sidecars,
+        infer_json_schema,
+        ingest_json_archive,
+        search_json_archives_kql,
+    )
+
+    # texts drawn from the reference fixtures: descriptor-representable,
+    # dictionary-fallback, and plain
+    texts = [
+        "-1.000000E3", "-1.000000E-2", "0.000000E+000", "3E3", "2.000000",
+        "123456789.000", "1.234567891234567E+0009", "0.00",
+        "123456789.123456789",          # >17 sig digits -> raw fallback
+        "1.2345678912345679e+13",       # non-754 literal -> raw fallback
+        "0.000000E010",                 # zero w/ nonzero exp -> raw fallback
+        "0.0000000000000001",
+    ]
+    rows = [
+        (i, '{"idx": %d, "fv": %s, "msg": "m %d"}' % (i, t, i))
+        for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, json string")
+    out = str(tmp_path / "farch")
+    schema = infer_json_schema(spark, df, "json")
+    ingest_json_archive(spark, df, out, schema=schema)
+
+    rec = spark.read.parquet(out + "/records")
+    # sidecar columns landed; descriptor vs fallback split is the
+    # reference's exact split on these fixtures
+    (_, fmt_c, raw_c) = float_sidecars(schema)[0]
+    got = {r["i"]: (r["f"], r["r"]) for r in rec.select(
+        F.col("rec.idx").alias("i"), F.col(fmt_c).alias("f"), F.col(raw_c).alias("r")
+    ).collect()}
+    fallback_idx = {8, 9, 10}
+    for i, t in enumerate(texts):
+        fmt, raw = got[i]
+        if i in fallback_idx:
+            assert fmt == -1 and raw == t, (i, t, fmt, raw)
+        else:
+            assert fmt >= 0 and raw is None, (i, t, fmt, raw)
+
+    # byte-exact decode for EVERY row, both kinds
+    dec = decode_json_floats(rec, schema)
+    back = {r["i"]: r["t"] for r in dec.select(
+        F.col("rec.idx").alias("i"), F.col("rec.fv").alias("t")
+    ).collect()}
+    assert back == {i: t for i, t in enumerate(texts)}
+
+    # numeric search over the typed double column (reference
+    # clp-s-search-formatted-float: value comparisons, format-agnostic)
+    hits = search_json_archives_kql(spark, [out], "fv >= 3000")
+    assert sorted(r["idx"] for r in hits.select("idx").collect()) == [3, 5, 6, 8, 9]
+    hits2 = search_json_archives_kql(spark, [out], 'fv < 0 AND msg: "m 0"')
+    assert [r["idx"] for r in hits2.select("idx").collect()] == [0]
+
+
+def test_json_archive_numeric_epoch_timestamp_index(spark, tmp_path):
+    """Numeric-epoch timestamp keys (VERDICT r3 item 5): int/float-valued
+    timestamp-named keys feed the archive ts index RAW (reference
+    TimestampEntry.hpp:58-93, no unit conversion) and are searched
+    NUMERICALLY (test-clp_s-search.cpp:297-343 over
+    test_search_{int,float}_timestamp.jsonl); an out-of-range archive's
+    parquet is never opened."""
+    import json as _json
+    import os
+
+    from clp_spark.plans.semistructured import (
+        archive_may_match,
+        ingest_json_archive,
+        search_json_archives_kql,
+    )
+
+    # the reference int fixture values: epoch-ms 1759417024100/200/300
+    def mk(offset_ms, n=3):
+        rows = [
+            (i, '{"idx": %d, "timestamp": %d}' % (i, 1759417024100 + offset_ms + i * 100))
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "event_id long, json string")
+
+    d1, d2 = str(tmp_path / "near"), str(tmp_path / "far")
+    m1 = ingest_json_archive(spark, mk(0), d1)
+    ingest_json_archive(spark, mk(10**9), d2)
+    assert m1["numeric_ts_ranges"]["timestamp"] == [1759417024100, 1759417024300]
+
+    # the reference's own query set (clp-s-search-epoch-timestamp)
+    q = "timestamp > 1759417024100 AND timestamp < 1759417024300"
+    with open(os.path.join(d2, "_manifest.json")) as f:
+        assert not archive_may_match(_json.load(f), q)
+    out = search_json_archives_kql(spark, [d1, d2], q)
+    assert all("far" not in p for p in out.inputFiles())
+    assert sorted(r["idx"] for r in out.select("idx").collect()) == [1]
+    assert search_json_archives_kql(
+        spark, [d1, d2], "timestamp > 1759417024299.9"
+    ).count() == 4  # idx 2 of the near archive + all 3 far rows
+
+    # float-epoch (seconds, reference float fixture): raw values, same path
+    def mkf(n=3):
+        rows = [
+            (i, '{"idx": %d, "timestamp": %s}' % (i, f"17594170{24 + i}.{i + 1}"))
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "event_id long, json string")
+
+    d3 = str(tmp_path / "float")
+    m3 = ingest_json_archive(spark, mkf(), d3)
+    lo, hi = m3["numeric_ts_ranges"]["timestamp"]
+    assert abs(lo - 1759417024.1) < 1e-6 and abs(hi - 1759417026.3) < 1e-6
+    got = search_json_archives_kql(
+        spark, [d3], "timestamp > 1759417024.1 AND timestamp < 1759417026.3"
+    )
+    assert sorted(r["idx"] for r in got.select("idx").collect()) == [1]
+    # disjoint numeric range: the archive is provably unmatchable
+    with open(os.path.join(d3, "_manifest.json")) as f:
+        assert not archive_may_match(_json.load(f), "timestamp < 1759417000")
+
+
 def test_json_archive_array_dict(spark, tmp_path):
     """Encoded array store (clp_s archive_constants array.dict): array
     values leave the records table for their own dictionary; array search
