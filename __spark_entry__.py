@@ -151,19 +151,14 @@ def q_roundtrip_mismatches(spark, sf_dir):
             t.select("conv_id", "turn_idx", "text"), ["conv_id", "turn_idx"]
         ).filter("dec_text != text")
         return mism.agg(F.count("*").alias("mismatches"))
-    # The original text rides THROUGH the decode as a passthrough column, so
-    # the compare needs NO join: one narrow scan -> Arrow render -> filter ->
-    # partial agg (the reference round-trip verify streams both sides in
-    # order; this is its co-partitioned Spark equivalent).
-    msgs = parsed.select(
-        "conv_id", "turn_idx", F.col("text").alias("orig_text"),
-        "ts", "logtype_id", "encoded_vars",
-    )
-    dec = P.decode_messages_dictmap(
-        spark, msgs, lt_rows, vd_rows,
-        key_cols=("conv_id", "turn_idx", "orig_text"),
-    )
-    return dec.filter("text != orig_text").agg(F.count("*").alias("mismatches"))
+    # The compare is FOLDED INTO the decode pass (VERDICT r3 item 9): only
+    # (text, logtype_id, encoded_vars) crosses the Arrow bridge inward and
+    # one int64 per partition crosses back — no key/ts columns, no decoded
+    # strings shipped (the decode was measured AT the bridge floor, so
+    # fewer bytes is the only remaining lever). Same single narrow scan,
+    # no join (the reference round-trip verify streams both sides in order).
+    msgs = parsed.select("text", "logtype_id", "encoded_vars")
+    return P.roundtrip_mismatch_count(spark, msgs, lt_rows, vd_rows)
 
 
 def _encoded(spark, sf_dir):

@@ -525,3 +525,53 @@ def decode_messages_dictmap(
 
     cols = passthrough + ["logtype_id", "encoded_vars"]
     return messages.select(*cols).mapInArrow(render, schema=schema)
+
+
+def roundtrip_mismatch_count(
+    spark,
+    messages: DataFrame,
+    logtype_rows,
+    var_rows,
+    text_col: str = "text",
+) -> DataFrame:
+    """Round-trip verify with the compare FOLDED INTO the decode pass.
+
+    The decode measured at the Python-Arrow BRIDGE floor (an identity
+    mapInArrow is slower than the decode itself — BASELINE.md r3), so the
+    only way left to go faster is to ship fewer bytes: here only
+    (text, logtype_id, encoded_vars) crosses into Python, the rendered
+    strings are compared against the originals INSIDE the batch (one Arrow
+    kernel), and a single int64 per partition crosses back — decoded
+    strings, key and ts columns never ride the bridge at all. This is the
+    co-streamed verify the reference decompressor does against its input
+    (clp/streaming_archive/reader/Archive.cpp:163-195 order guarantee).
+    Returns a 1-row DataFrame (mismatches bigint)."""
+    bc = _dict_broadcast(spark, list(logtype_rows), list(var_rows))
+    out_schema = StructType([StructField("mismatches", LongType())])
+
+    def run(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from clp_spark.functions.render_vec import list_column_parts, render_groups
+
+        templates, vd = bc.value
+        total = 0
+        for b in batches:
+            lids = np.asarray(
+                b.column(1).to_numpy(zero_copy_only=False), dtype=np.int64
+            )
+            offs, vals = list_column_parts(b.column(2))
+            texts = render_groups(lids, offs[:-1], vals, templates, vd=vd)
+            # null orig vs rendered text counts as a mismatch (fill True)
+            neq = pc.fill_null(pc.invert(pc.equal(texts, b.column(0))), True)
+            total += pc.sum(pc.cast(neq, pa.int64())).as_py() or 0
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([total], type=pa.int64())], ["mismatches"]
+        )
+
+    per_part = messages.select(text_col, "logtype_id", "encoded_vars").mapInArrow(
+        run, schema=out_schema
+    )
+    return per_part.agg(F.sum("mismatches").alias("mismatches"))
