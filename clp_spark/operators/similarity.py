@@ -365,11 +365,18 @@ def knn_join(
     IVF operating point) so blocks stay executor-sized; spherical k-means
     keeps them near-uniform.
 
-    `exact=True` skips IVF entirely and scores all n^2 pairs via the
-    Catalyst expression path — the oracle path (kept JVM-side so the
-    driver-recorded DuckDB row compares two independent engines); at 10^12
-    rows exact all-pairs kNN is not a thing any engine does, use the IVF
-    path (or cosine_neardup_pairs for threshold workloads).
+    `exact=True` skips IVF training and scores all n^2 pairs as a SINGLE
+    GEMM block (one all-zero centroid puts every vector in one cluster, so
+    the same cogroup scorer sees the whole table at once) — the oracle
+    path. It is small-n only by construction (the whole table lands in one
+    pandas group; the Catalyst per-pair expression it replaced spent 73 s
+    on 25M pair-rows at sf0.1 where the single matmul takes ~1 s); at
+    10^12 rows exact all-pairs kNN is not a thing any engine does, use the
+    IVF path (or cosine_neardup_pairs for threshold workloads).
+    Independence of the correctness check is preserved twice over: the
+    driver compares this numpy scorer against a quadratic DuckDB oracle,
+    and pytest pins it against `_knn_join_exact_expr` (the retained
+    Catalyst per-pair scorer — a third engine).
 
     Ranking is over round(sim, 6) with nbr_id tiebreak, the same
     determinism discipline as cosine_topk, so engines (and the numpy vs
@@ -387,26 +394,10 @@ def knn_join(
     )
 
     if exact:
-        cand = (
-            df.select(F.col(id_col).alias("id_q"))
-            .crossJoin(df.select(F.col(id_col).alias("id_i")))
-            .where(F.col("id_q") != F.col("id_i"))
-        )
-        vecs = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
-        paired = cand.join(
-            vecs.withColumnRenamed("vid", "id_q").withColumnRenamed("v", "v_q"), "id_q"
-        ).join(vecs.withColumnRenamed("vid", "id_i").withColumnRenamed("v", "v_i"), "id_i")
-        dot = (
-            "aggregate(zip_with(v_q, v_i, (x, y) -> cast(x as double) * cast(y as double)), "
-            "cast(0.0 as double), (s, v) -> s + v)"
-        )
-        sim = F.expr(f"{dot} / ({_norm_expr('v_q')} * {_norm_expr('v_i')})")
-        return (
-            paired.withColumn("sim", F.round(sim, 6))
-            .withColumn("rank", F.row_number().over(w).cast(IntegerType()))
-            .where(F.col("rank") <= k)
-            .select(*out_cols)
-        )
+        if dim is None:
+            dim = len(df.select(vec_col).first()[0])
+        centroids = np.zeros((1, dim))
+        nprobe = 1
 
     if centroids is None:
         if dim is None:
@@ -481,6 +472,48 @@ def knn_join(
         scored.withColumn("rank", F.row_number().over(w).cast(IntegerType()))
         .where(F.col("rank") <= k)
         .select(*out_cols)
+    )
+
+
+def _knn_join_exact_expr(
+    df: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact k-NN self-join scored entirely JVM-side (Catalyst higher-order
+    dot over explicit pair rows). Quadratic in rows AND per-pair in
+    Catalyst — kept ONLY as the independent third scorer for the pytest
+    invariant against knn_join's numpy GEMM paths (the driver's DuckDB
+    oracle being the second); never the production path."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import IntegerType
+
+    w = Window.partitionBy("id_q").orderBy(F.desc("sim"), F.col("id_i"))
+    cand = (
+        df.select(F.col(id_col).alias("id_q"))
+        .crossJoin(df.select(F.col(id_col).alias("id_i")))
+        .where(F.col("id_q") != F.col("id_i"))
+    )
+    vecs = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    paired = cand.join(
+        vecs.withColumnRenamed("vid", "id_q").withColumnRenamed("v", "v_q"), "id_q"
+    ).join(vecs.withColumnRenamed("vid", "id_i").withColumnRenamed("v", "v_i"), "id_i")
+    dot = (
+        "aggregate(zip_with(v_q, v_i, (x, y) -> cast(x as double) * cast(y as double)), "
+        "cast(0.0 as double), (s, v) -> s + v)"
+    )
+    sim = F.expr(f"{dot} / ({_norm_expr('v_q')} * {_norm_expr('v_i')})")
+    return (
+        paired.withColumn("sim", F.round(sim, 6))
+        .withColumn("rank", F.row_number().over(w).cast(IntegerType()))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("id_q").alias(id_col),
+            F.col("id_i").alias("nbr_id"),
+            "rank",
+            "sim",
+        )
     )
 
 

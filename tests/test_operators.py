@@ -387,9 +387,17 @@ def test_sessionize_boundaries(spark):
 
 def test_knn_join_full_probe_equals_exact(spark):
     """IVF-blocked k-NN join degenerates to the exact all-pairs result at
-    full probe — same boundary property as the single-query IVF top-k."""
+    full probe — same boundary property as the single-query IVF top-k.
+    The exact result itself is cross-checked against the Catalyst
+    per-pair scorer (_knn_join_exact_expr): numpy GEMM and JVM
+    expression evaluation are independent engines that must agree
+    bit-exactly under the round(sim, 6) + nbr_id-tiebreak discipline."""
     e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     exact = SIM.knn_join(e, k=3, exact=True).orderBy("vec_id", "rank").collect()
+    expr = (
+        SIM._knn_join_exact_expr(e, k=3).orderBy("vec_id", "rank").collect()
+    )
+    assert [tuple(r) for r in expr] == [tuple(r) for r in exact]
     full = SIM.knn_join(
         e, k=3, n_centroids=8, nprobe=8, iters=1, dim=64
     ).orderBy("vec_id", "rank").collect()
