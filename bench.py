@@ -127,16 +127,25 @@ def run_ingest(spark, sf_dir: str, replicate: int = 1, trials: int = 3,
         # that scales ~0.64 from 2->8 cores on this one-bus box and
         # systematically understated the pipeline's own scaling (measured
         # interleaved: parquet 0.83 vs cache 0.64 in the same windows).
-        # Split size tuned so the scan parallelizes on every probe width.
+        # Split count is CONSTANT across probe widths (32 splits), not
+        # width-derived: a real table's split/output layout does not change
+        # with cluster size — only parallelism does. Width-derived splits
+        # (size // (par*4)) made the two probe sides run DIFFERENT jobs:
+        # the local[8] side ran 32 tasks and wrote 32x16 = 512 bucket
+        # files while local[2] ran 8 tasks / 128 files, so per-task and
+        # per-file fixed costs (parquet writer init, bloom + footer
+        # serialization, commit rename) piled 4x onto the hi side and read
+        # as "bad scaling" (~24 lost core-seconds at 8 cores; GC was
+        # measured at 0.24 s STW total and ruled out). 32 splits = 16
+        # waves at local[2], 4 at local[8]: both amortize the task tail.
         size = sum(
             os.path.getsize(os.path.join(r, f))
             for r, _, fs in os.walk(input_parquet)
             for f in fs
         )
-        par = spark.sparkContext.defaultParallelism
         spark.conf.set(
             "spark.sql.files.maxPartitionBytes",
-            str(max(1 << 20, size // (par * 4))),
+            str(max(1 << 20, size // 32)),
         )
         t = spark.read.parquet(input_parquet)
         n_turns = t.count()  # warm tmpfs metadata/footers (untimed)
@@ -359,6 +368,14 @@ def _one_probe(cpus: int, replicate: int | None = None, trials: int | None = Non
 
     time.sleep(8)  # let the previous JVM's shutdown + page flush settle
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    # Size the JVM's internal pools (GC workers, JIT compiler threads,
+    # netty event loops, ForkJoin commonPool) for the PINNED width, not the
+    # 32 cores os.cpu_count() reports — an un-hinted JVM squeezed into a
+    # small core set oversubscribes itself (measured: ~4% at local[8],
+    # worse at local[2]). This is exactly what a real N-core executor
+    # container gets from cgroup-aware JVM sizing.
+    opts = env.get("SPARK_SUBMIT_OPTS", "")
+    env["SPARK_SUBMIT_OPTS"] = f"{opts} -XX:ActiveProcessorCount={cpus}".strip()
     if replicate is not None:
         env["SPARK_GRAFT_SCALE_REPLICATE"] = str(replicate)
     if trials is not None:
