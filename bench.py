@@ -205,6 +205,200 @@ def scale_probe() -> None:
     spark.stop()
 
 
+def trial_server() -> None:
+    """One side of the PAIRED scaling probe: hold a pinned local[N] session
+    open over the shared prebuilt input, warm it once (untimed), then run
+    ONE timed trial of the parsed+routed job each time the parent drops a
+    RUN_k token in the control dir, writing RESULT_k.json back.
+
+    Why a server per side instead of fresh probe subprocesses: this host's
+    performance envelope drifts +-25% minute to minute, and a fresh-JVM
+    lo-side probe takes ~4.5 min (warmup + trials) — the two sides of a
+    \"pair\" inevitably sample different weather windows, which is exactly
+    the noise that broke the r3/r4 driver-run gate numbers. With both JVMs
+    resident on DISJOINT pinned core sets and the parent alternating single
+    trials between them, each lo/hi ratio is computed within one ~2-minute
+    window; the weather hits both sides of a cycle nearly equally and
+    divides out of the ratio."""
+    import shutil
+
+    from clp_spark.plans.ingest import ingest
+    from clp_spark.session import get_spark
+    from clp_spark.sources.transcripts import dim_role, dim_tool
+
+    ctrl = os.environ["SPARK_GRAFT_TRIAL_DIR"]
+    input_parquet = os.environ["SPARK_GRAFT_SCALE_INPUT"]
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    size = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(input_parquet)
+        for f in fs
+    )
+    # constant split layout across widths — see run_ingest's probe branch
+    spark.conf.set(
+        "spark.sql.files.maxPartitionBytes", str(max(1 << 20, size // 32))
+    )
+    t = spark.read.parquet(input_parquet)
+    n_turns = t.count()  # warm tmpfs metadata/footers (untimed)
+    dr, dt = dim_role(spark), dim_tool(spark)
+    base = _bench_tmpdir()
+
+    def job(out):
+        ingest(spark, t, out, dim_role=dr, dim_tool=dt, resume=False,
+               only_steps={"messages"})
+
+    try:
+        job(f"{base}/warmup")  # spawn workers + codegen JIT, untimed
+        shutil.rmtree(f"{base}/warmup", ignore_errors=True)
+        with open(os.path.join(ctrl, "READY"), "w") as f:
+            f.write(str(n_turns))
+        k = 0
+        deadline = time.monotonic() + float(
+            os.environ.get("SPARK_GRAFT_TRIAL_TTL", "2400")
+        )
+        while time.monotonic() < deadline:
+            if os.path.exists(os.path.join(ctrl, "STOP")):
+                break
+            tok = os.path.join(ctrl, f"RUN_{k}")
+            if not os.path.exists(tok):
+                time.sleep(0.2)
+                continue
+            out = f"{base}/trial{k}"
+            t0 = time.perf_counter()
+            job(out)
+            sec = time.perf_counter() - t0
+            shutil.rmtree(out, ignore_errors=True)
+            tmp = os.path.join(ctrl, f"RESULT_{k}.tmp")
+            with open(tmp, "w") as f:
+                json.dump({"sec": round(sec, 3), "turns": n_turns,
+                           "turns_per_sec": round(n_turns / sec, 1),
+                           "cpus": CPUS}, f)
+            os.replace(tmp, os.path.join(ctrl, f"RESULT_{k}.json"))
+            k += 1
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        spark.stop()
+
+
+def _spawn_trial_server(cpus: int, ctrl: str, core_lo: int, core_hi: int):
+    import shutil as _sh
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+               SPARK_GRAFT_TRIAL_DIR=ctrl)
+    opts = env.get("SPARK_SUBMIT_OPTS", "")
+    env["SPARK_SUBMIT_OPTS"] = f"{opts} -XX:ActiveProcessorCount={cpus}".strip()
+    prefix = (
+        ["taskset", "-c", f"{core_lo}-{core_hi}"] if _sh.which("taskset") else []
+    )
+    log = open(os.path.join(ctrl, "server.log"), "w")
+    return subprocess.Popen(
+        prefix + [sys.executable, os.path.abspath(__file__), "--trial-server"],
+        env=env, stdout=log, stderr=subprocess.STDOUT,
+    )
+
+
+def _wait_file(path: str, timeout: float, proc=None) -> bool:
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < timeout:
+        if os.path.exists(path):
+            return True
+        if proc is not None and proc.poll() is not None:
+            return False
+        time.sleep(0.3)
+    return False
+
+
+def _run_scaling_paired(deadline: float, ratio: float, quiesce: dict) -> dict | None:
+    """Resident-JVM paired trials (see trial_server docstring). Returns the
+    scaling dict, or None if the servers failed to come up (caller falls
+    back to the fresh-subprocess pair path)."""
+    import shutil as _sh
+    import tempfile
+
+    cycles = int(os.environ.get("SPARK_GRAFT_SCALE_CYCLES", "8"))
+    ncpu = os.cpu_count() or 32
+    base = tempfile.mkdtemp(prefix="clp_trialctl_")
+    lo_dir = os.path.join(base, "lo")
+    hi_dir = os.path.join(base, "hi")
+    os.makedirs(lo_dir)
+    os.makedirs(hi_dir)
+    # disjoint pinned core sets, top of the range (CPU0 takes irqs/timers):
+    # hi gets [ncpu-HI, ncpu-1], lo sits just below it
+    p_hi = _spawn_trial_server(SCALE_HI, hi_dir, ncpu - SCALE_HI, ncpu - 1)
+    p_lo = _spawn_trial_server(
+        SCALE_LO, lo_dir, ncpu - SCALE_HI - SCALE_LO, ncpu - SCALE_HI - 1
+    )
+    pairs = []
+    try:
+        if not (
+            _wait_file(os.path.join(lo_dir, "READY"), 600, p_lo)
+            and _wait_file(os.path.join(hi_dir, "READY"), 600, p_hi)
+        ):
+            print("trial servers failed to start", file=sys.stderr)
+            return None
+        k = 0
+        while k < cycles and time.monotonic() < deadline:
+            # alternate in-cycle order so residual drift WITHIN a cycle
+            # (lo trials run ~3x longer than hi) cancels across cycles
+            order = [(lo_dir, p_lo), (hi_dir, p_hi)]
+            if k % 2:
+                order.reverse()
+            res = {}
+            ok = True
+            for d, p in order:
+                open(os.path.join(d, f"RUN_{k}"), "w").close()
+                if not _wait_file(os.path.join(d, f"RESULT_{k}.json"), 600, p):
+                    ok = False
+                    break
+                with open(os.path.join(d, f"RESULT_{k}.json")) as f:
+                    res[d] = json.load(f)
+            if not ok:
+                break
+            lo, hi = res[lo_dir], res[hi_dir]
+            pairs.append({
+                "lo": lo, "hi": hi,
+                "eff": (hi["turns_per_sec"] / lo["turns_per_sec"]) / ratio,
+            })
+            k += 1
+    finally:
+        for d in (lo_dir, hi_dir):
+            open(os.path.join(d, "STOP"), "w").close()
+        for p in (p_lo, p_hi):
+            try:
+                p.wait(timeout=60)
+            except subprocess.TimeoutExpired:
+                p.kill()
+        _sh.rmtree(base, ignore_errors=True)
+    if len(pairs) < 3:
+        return None
+    # PRIMARY estimator: median of per-cycle ratios. Each cycle's lo and hi
+    # trials run within one ~2-minute window on a resident JVM, so window
+    # weather divides out of the ratio; the median over >=8 cycles absorbs
+    # the occasional cycle where weather shifted mid-cycle. (The r4 fresh-
+    # subprocess design needed a per-side-best estimator because its sides
+    # sampled different windows; with paired trials that correction is no
+    # longer doing the work and the plain median is the defensible number.)
+    effs = sorted(p["eff"] for p in pairs)
+    eff = effs[len(effs) // 2] if len(effs) % 2 else (
+        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2
+    )
+    best_lo = max((p["lo"] for p in pairs), key=lambda r: r["turns_per_sec"])
+    best_hi = max((p["hi"] for p in pairs), key=lambda r: r["turns_per_sec"])
+    return {
+        "cpus_lo": SCALE_LO, "tp_lo": best_lo["turns_per_sec"], "sec_lo": best_lo["sec"],
+        "cpus_hi": SCALE_HI, "tp_hi": best_hi["turns_per_sec"], "sec_hi": best_hi["sec"],
+        "turns": best_lo["turns"],
+        "pair_efficiencies": [round(p["eff"], 3) for p in pairs],
+        "efficiency": round(eff, 3),
+        "efficiency_best_sides": round(
+            (best_hi["turns_per_sec"] / best_lo["turns_per_sec"]) / ratio, 3
+        ),
+        "paired_resident_jvms": True,
+        "quiesce": quiesce,
+    }
+
+
 def _preflight_work(args):
     """One preflight worker: pin to the probe core set, then run the
     ids-only encoder over a synthetic batch `reps` times (pure Python +
@@ -363,6 +557,23 @@ def _quiesce(max_wait: float = 90.0, busy_thresh: float = 3.0) -> dict:
     }
 
 
+def _clean_stray_tmpfs() -> int:
+    """Remove orphaned bench dirs on /dev/shm left by killed/timed-out runs
+    (observed: ~0.5 GB of stray trial sinks after interrupted probe
+    sessions). Only called BEFORE this run creates its own dirs — never
+    from the in-loop quiesce, which runs while the probe input is live."""
+    import glob
+    import shutil as _sh
+
+    n = 0
+    for d in glob.glob("/dev/shm/clp_bench_*") + glob.glob(
+        "/dev/shm/clp_probe_in_*"
+    ):
+        _sh.rmtree(d, ignore_errors=True)
+        n += 1
+    return n
+
+
 def _one_probe(cpus: int, replicate: int | None = None, trials: int | None = None) -> dict | None:
     import shutil as _sh
 
@@ -475,28 +686,46 @@ def run_scaling() -> dict | None:
 
     1. QUIESCE first: kill stray Spark/pyspark processes from earlier runs
        by pid, then wait for machine-wide CPU to go idle (recorded).
-    2. SETTLE: a discarded reduced-size warmup pair amortizes page-cache /
-       cpufreq / JIT transients, then quick preflights repeat until two
-       consecutive readings agree.
-    3. INTERLEAVED lo/hi probe pairs (alternating in-pair order) so slow
-       background load hits both sides equally; each probe is its own
-       pinned JVM (the only honest way to vary local[N]); untimed warmup +
-       min-of-trials inside.
-    4. ESTIMATE from per-side bests: efficiency = (best tp_hi / best
-       tp_lo) / ratio across all runs (see the inline rationale — host
-       noise only subtracts throughput, so peak-over-repeats is the
-       steady-state estimator; pairwise medians and preflight-window
-       admission both mis-fired on this host's +-25% window drift).
-    All raw pair efficiencies and per-pair preflights are recorded in the
-    JSON so the number can be audited."""
+    2. One shared prebuilt parquet input on tmpfs (the metric's real
+       ingest-from-a-table shape); constant split layout across widths.
+    3. PAIRED RESIDENT-JVM TRIALS (primary, _run_scaling_paired): one
+       pinned local[N] JVM per side on DISJOINT core sets, both warmed
+       once, then single timed trials alternate lo/hi so each ratio is
+       computed within one ~2-minute weather window; efficiency = median
+       of per-cycle ratios. This is the design that survives this host's
+       +-25% minute-scale drift — fresh-subprocess pairs (the r3/r4
+       design) take ~4.5 min per lo probe, so the two sides of a pair
+       inevitably sample different windows and the ratio inherits the
+       drift (recorded driver-run failures: 0.387 r3, 0.777 r4 rehearsal,
+       while same-session tight pairs read 0.80-0.97).
+    4. Fallback (_run_scaling_measured): fresh-subprocess interleaved
+       pairs with a per-side-best estimator, used only if the trial
+       servers fail to come up.
+    All raw per-cycle efficiencies are recorded in the JSON so the number
+    can be audited."""
     pairs = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
     max_pairs = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_PAIRS", str(pairs + 2)))
     budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "1800"))
     ratio = SCALE_HI / SCALE_LO
     deadline = time.monotonic() + budget
     quiesce = _quiesce()
+    quiesce["cleaned_stray_dirs"] = _clean_stray_tmpfs()
     input_dir = _build_probe_input()
     try:
+        if input_dir and not os.environ.get("SPARK_GRAFT_SCALE_UNPAIRED"):
+            settle = _settle_preflight(max_tries=2)
+            out = _run_scaling_paired(deadline, ratio, quiesce)
+            if out is not None:
+                out["settle_preflights"] = settle
+                pf = preflight_scaling(reps=12)
+                out["preflight"] = pf
+                if pf:
+                    out["efficiency_vs_box"] = round(
+                        out["efficiency"] / pf["efficiency"], 3
+                    )
+                return out
+            print("paired probe unavailable; falling back to fresh-subprocess pairs",
+                  file=sys.stderr)
         return _run_scaling_measured(pairs, max_pairs, deadline, ratio, quiesce)
     finally:
         if input_dir:
@@ -638,5 +867,7 @@ def main() -> None:
 if __name__ == "__main__":
     if "--scale-probe" in sys.argv:
         scale_probe()
+    elif "--trial-server" in sys.argv:
+        trial_server()
     else:
         main()
