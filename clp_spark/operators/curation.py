@@ -20,9 +20,13 @@ Scale notes (10^12-row regime):
 * token_vocab is a map-side-combinable count + TakeOrderedAndProject: the
   shuffle carries one row per DISTINCT token per partition, not per
   occurrence.
-* contamination builds the n-gram set of the (small) benchmark side,
-  broadcasts it, and LEFT SEMI joins the training side's exploded n-grams —
-  the training corpus is never shuffled, only scanned.
+* contamination builds the n-gram set of the (small) benchmark side as
+  8-byte rolling-hash keys (word_ngram_hashes), broadcasts it, and joins
+  the training side's exploded gram hashes — the training corpus is never
+  shuffled, only scanned, and the broadcast carries longs, not strings.
+  (The hashed gram key is the one deliberate departure from
+  engine-portable expressions here; the string path is kept under
+  `exact=True` and the two are pinned equal in tests.)
 * pii_redact is one regexp_replace pass per pattern, fully codegen'd.
 """
 
@@ -35,6 +39,7 @@ __all__ = [
     "hash_split",
     "token_vocab",
     "word_ngrams",
+    "word_ngram_hashes",
     "contamination",
     "PII_PATTERNS",
     "pii_redact",
@@ -127,12 +132,80 @@ def word_ngrams(
     return df.select(F.col(id_col).alias("id"), F.explode(grams).alias("ngram"))
 
 
+def word_ngram_hashes(
+    df: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, gram_hash:int64) pairs — word_ngrams with the n-word STRING
+    replaced by a 64-bit positional-combine hash of the n word hashes,
+    computed in one Arrow-batched numpy pass (dedup's
+    `_shingle_hash_stream`, the machinery already proven on MinHash
+    shingles).
+
+    Building every n-gram as a string re-materializes ~n x the corpus text
+    (measured: the string build alone was 2.85 s of contamination's 3.16 s
+    at sf0.1), and the strings then ride the broadcast hash table and the
+    join comparator. An 8-byte gram key means far less compute on the scan
+    and a broadcast table of longs instead of ~60-byte strings — at 100 TB
+    the difference between shipping GBs and shipping tens of MBs to every
+    executor. Collision risk is birthday-bounded (~m^2/2^65; ~3e-8 at a
+    million distinct grams) and only ever UNDERcounts n_hits by 1.
+
+    Why a numpy UDF and not pyspark.sql.functions: the gram combine over a
+    token-hash array is a higher-order expression, and Catalyst evaluates
+    HOF lambdas INTERPRETED — measured 15 us/gram for aggregate(slice(...))
+    (slower than building the strings), and unrolled element_at chains are
+    worse still (Catalyst expressions are trees, not DAGs, so any
+    accumulator referenced more than once per step duplicates its whole
+    prefix subtree). The numpy pass does the same work vectorized.
+
+    Same per-doc-distinct contract as word_ngrams (vectorized lexsort
+    dedup); docs with fewer than n tokens produce no rows; zero shuffle."""
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .dedup import _shingle_hash_stream
+
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    id_field = src.schema["id"]
+    out_schema = T.StructType([id_field, T.StructField("gram_hash", T.LongType())])
+    sep = _re.compile(TOKEN_SEP_RE)
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            # normalize to the SAME token stream _tokens() produces:
+            # lowercase, alnum runs, empties dropped
+            texts = [sep.sub(" ", (t or "").lower()).strip() for t in pdf["text"]]
+            nwords = np.fromiter(
+                (len(t.split(" ")) if t else 0 for t in texts),
+                dtype=np.int64,
+                count=len(texts),
+            )
+            hv, scnt = _shingle_hash_stream(texts, n)
+            ids = np.repeat(pdf["id"].to_numpy(), scnt)
+            keep = np.repeat(nwords >= n, scnt)
+            ids, hv = ids[keep], hv[keep].view(np.int64)
+            # per-doc distinct: lexsort, then drop consecutive duplicates
+            order = np.lexsort((hv, ids))
+            ids, hv = ids[order], hv[order]
+            first = np.ones(len(ids), dtype=bool)
+            first[1:] = (ids[1:] != ids[:-1]) | (hv[1:] != hv[:-1])
+            yield pd.DataFrame({"id": ids[first], "gram_hash": hv[first]})
+
+    return src.mapInPandas(run, out_schema)
+
+
 def contamination(
     train: DataFrame,
     bench: DataFrame,
     n: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    exact: bool = False,
 ) -> DataFrame:
     """Benchmark-contamination report: training docs sharing at least one
     word n-gram with the benchmark set -> (id, n_hits) with n_hits = how
@@ -144,15 +217,26 @@ def contamination(
     training corpus is scanned once — no shuffle of the big side.
 
     ONE shuffle total: the bench side is broadcast WITHOUT a distinct()
-    (word_ngrams is already per-doc distinct, so dup grams only come from
-    distinct bench docs sharing a gram — a small constant inflation of the
-    broadcast hash table), and the cross-bench-doc dedup folds into the
-    final countDistinct, whose partial (id, ngram) dedup runs map-side.
-    """
-    bench_grams = word_ngrams(bench, n, text_col, id_col).select("ngram")
-    train_grams = word_ngrams(train, n, text_col, id_col)
-    hits = train_grams.join(F.broadcast(bench_grams), "ngram")
-    return hits.groupBy("id").agg(F.countDistinct("ngram").alias("n_hits"))
+    (the gram builds are already per-doc distinct, so dup grams only come
+    from distinct bench docs sharing a gram — a small constant inflation of
+    the broadcast hash table), and the cross-bench-doc dedup folds into the
+    final countDistinct, whose partial (id, gram) dedup runs map-side.
+
+    Default path joins on 8-byte rolling-hash gram keys
+    (word_ngram_hashes) — n_hits is identical to the string path modulo a
+    ~m^2/2^65 collision probability. `exact=True` keeps the n-word string
+    keys (the oracle-identical path; also what the pytest equivalence test
+    pins the hashed path against)."""
+    if exact:
+        bench_grams = word_ngrams(bench, n, text_col, id_col).select("ngram")
+        train_grams = word_ngrams(train, n, text_col, id_col)
+        key = "ngram"
+    else:
+        bench_grams = word_ngram_hashes(bench, n, text_col, id_col).select("gram_hash")
+        train_grams = word_ngram_hashes(train, n, text_col, id_col)
+        key = "gram_hash"
+    hits = train_grams.join(F.broadcast(bench_grams), key)
+    return hits.groupBy("id").agg(F.countDistinct(key).alias("n_hits"))
 
 
 # Portable PII regexes: the subset of syntax Java regex (Spark) and RE2

@@ -86,6 +86,25 @@ def test_contamination_matches_python(spark):
     assert got == want
 
 
+def test_contamination_hashed_equals_exact(spark):
+    """The 8-byte rolling-hash gram path must agree with the n-word string
+    path bit-for-bit on real text (collisions are birthday-bounded at
+    ~m^2/2^65; any disagreement here means the hash combine is broken,
+    not unlucky)."""
+    d = _docs(spark)
+    bench = d.where("doc_id % 20 = 0")
+    train = d.where("doc_id % 20 != 0")
+    hashed = {
+        (r["id"], r["n_hits"])
+        for r in CU.contamination(train, bench, n=5).collect()
+    }
+    exact = {
+        (r["id"], r["n_hits"])
+        for r in CU.contamination(train, bench, n=5, exact=True).collect()
+    }
+    assert hashed == exact and hashed
+
+
 def test_contamination_broadcasts_bench_side(spark):
     d = _docs(spark)
     plan = CU.contamination(
