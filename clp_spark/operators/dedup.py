@@ -68,6 +68,37 @@ def shingle_set(text: str, k: int = 3) -> set[str]:
     return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
 
 
+def _shingle_hash_rows(
+    df: DataFrame, k: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, sh:int64) per-doc DISTINCT shingle hashes, batch-vectorized via
+    `_shingle_hash_stream` (includes the short-doc fallback shingle, same
+    semantics as the string expression in ngram_jaccard_pairs). 8-byte
+    shingle keys instead of k-word strings: the self-equi-join and the
+    per-doc size agg both run over longs, and no shingle strings are ever
+    materialized — the Catalyst transform/slice/concat_ws string build runs
+    interpreted (HOF lambdas never reach codegen) and dominated the
+    operator's cost."""
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    id_field = src.schema["id"]
+    schema = StructType([id_field, StructField("sh", LongType())])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            hv, scnt = _shingle_hash_stream(list(pdf["text"]), k)
+            ids = np.repeat(pdf["id"].to_numpy(), scnt)
+            hv = hv.view(np.int64)
+            order = np.lexsort((hv, ids))
+            ids, hv = ids[order], hv[order]
+            first = np.ones(len(ids), dtype=bool)
+            first[1:] = (ids[1:] != ids[:-1]) | (hv[1:] != hv[:-1])
+            yield pd.DataFrame({"id": ids[first], "sh": hv[first]})
+
+    return src.mapInPandas(run, schema=schema)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -75,6 +106,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_docs_per_shingle: int | None = None,
+    exact: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard >= threshold).
 
@@ -92,20 +124,30 @@ def ngram_jaccard_pairs(
     depends on ultra-hot shingles can be missed — and a pair above any
     useful threshold shares many non-hot shingles. Leave None for the
     exact/oracle path (small inputs, tests); ALWAYS set it for standalone
-    use at scale (minhash_lsh_pairs is the preferred scale path)."""
-    shingles = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(
-                F.array_distinct(
-                    F.expr(
-                        f"transform(sequence(1, greatest(size(split({text_col},' ')) - {k - 1}, 1)), "
-                        f"i -> concat_ws(' ', slice(split({text_col},' '), i, {k})))"
+    use at scale (minhash_lsh_pairs is the preferred scale path).
+
+    Default shingle keys are 8-byte hashes (`_shingle_hash_rows`) — same
+    jaccard values as the string path up to a ~m^2/2^65 collision
+    probability (pinned equal in tests); `exact=True` keeps the k-word
+    string keys, the literally-oracle-identical expression."""
+    if exact:
+        shingles = (
+            df.select(
+                F.col(id_col).alias("id"),
+                F.explode(
+                    F.array_distinct(
+                        F.expr(
+                            f"transform(sequence(1, greatest(size(split({text_col},' ')) - {k - 1}, 1)), "
+                            f"i -> concat_ws(' ', slice(split({text_col},' '), i, {k})))"
+                        )
                     )
-                )
-            ).alias("sh"),
+                ).alias("sh"),
+            )
         )
-    )
+    else:
+        # persisted (tracked): sizes + both self-join sides consume this —
+        # without the cache the shingle UDF re-runs per consumer
+        shingles = _persist_tracked(_shingle_hash_rows(df, k, text_col, id_col))
     sizes = shingles.groupBy("id").agg(F.count("*").alias("sz"))
     joinable = shingles
     if max_docs_per_shingle is not None:

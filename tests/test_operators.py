@@ -350,6 +350,22 @@ def test_neardup_clusters_singletons_and_consistency(spark):
 # ---- sessionization ---------------------------------------------------------
 
 
+def test_ngram_jaccard_hashed_equals_exact(spark):
+    """The 8-byte shingle-hash path must agree with the k-word string path
+    pair-for-pair and value-for-value (collisions are birthday-bounded;
+    disagreement means the hash stream is broken, not unlucky)."""
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    hashed = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in DD.ngram_jaccard_pairs(d, threshold=0.3, k=3).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in DD.ngram_jaccard_pairs(d, threshold=0.3, k=3, exact=True).collect()
+    }
+    assert hashed == exact and hashed
+
+
 def test_sessionize_boundaries(spark):
     from datetime import datetime
 
