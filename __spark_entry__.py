@@ -593,6 +593,41 @@ def q_contamination_bench(spark, sf_dir):
     )
 
 
+SAMPLE_FRACTIONS = {"en": 0.25, "fr": 1.0, "es": 0.5, "de": 0.1}
+BM25_TERMS = ["join", "shuffle", "broadcast", "vector"]
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum downsampling (corpus mixing): cap each
+    language at its mixing fraction via md5-prefix thresholds — shuffle-free,
+    reproducible under corpus growth; strata absent from the spec drop
+    (allowlist mode). Audited as per-language survivor counts."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        CU.stratified_sample(d, SAMPLE_FRACTIONS)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_topk_quality(spark, sf_dir):
+    """Quality selection: the 5 longest documents per language (score =
+    n_chars, id tiebreak) — one window shuffle, rows beyond rank k never
+    leave the executor."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return CU.topk_per_group(d, "lang", "n_chars", k=5).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def q_bm25_rank(spark, sf_dir):
+    """BM25 top-20 against a seed query (targeted corpus selection): term
+    filter inside the token array before the explode, tiny df/corpus stats
+    broadcast back, TakeOrderedAndProject."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return CU.bm25_rank(d, BM25_TERMS)
+
+
 SESSION_GAP_MINUTES = 480.0  # 8 h; the events corpus has ~7 h median inter-event gap
 
 
@@ -936,6 +971,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_counts": q_split_counts,
         "vocab_top50": q_vocab_top50,
         "contamination_bench": q_contamination_bench,
+        "stratified_sample": q_stratified_sample,
+        "topk_quality": q_topk_quality,
+        "bm25_rank": q_bm25_rank,
         "events_by_type": q_events_by_type,
     }
 
@@ -1455,6 +1493,45 @@ FROM tok GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 50"""
 SELECT g.doc_id AS id, count(*) AS n_hits
 FROM grams g JOIN bench b USING (ngram)
 WHERE g.doc_id % 20 <> 0 GROUP BY 1"""
+        ),
+        "stratified_sample": (
+            """SELECT lang, count(*) AS n FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+  CASE lang WHEN 'en' THEN '4000' WHEN 'fr' THEN 'g'
+            WHEN 'es' THEN '8000' WHEN 'de' THEN '1999' ELSE '0000' END
+GROUP BY 1"""
+        ),
+        "topk_quality": (
+            """SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+) WHERE rk <= 5"""
+        ),
+        "bm25_rank": (
+            """WITH base AS (
+  SELECT doc_id AS id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                t -> t <> '') AS toks
+  FROM documents
+), d AS (SELECT id, len(toks) AS dl, toks FROM base),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+tf AS (
+  SELECT id, dl, term, count(*) AS tf
+  FROM (SELECT id, dl, unnest(list_filter(toks,
+          t -> t IN ('join', 'shuffle', 'broadcast', 'vector'))) AS term
+        FROM d)
+  GROUP BY 1, 2, 3
+),
+dfreq AS (SELECT term, count(DISTINCT id) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.id,
+    ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)) AS sc
+  FROM tf JOIN dfreq f USING (term) CROSS JOIN stats s
+)
+SELECT id, round(sum(sc), 4) AS bm25 FROM scored GROUP BY 1
+ORDER BY bm25 DESC, id LIMIT 20"""
         ),
         # minhash_lsh_dups / simhash / fingerprint / ann_topk_lsh: hash- or
         # signature-based (not ANSI-SQL-expressible) -> driver rows-only check.

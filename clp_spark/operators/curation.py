@@ -37,10 +37,13 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "hash_split",
+    "stratified_sample",
+    "topk_per_group",
     "token_vocab",
     "word_ngrams",
     "word_ngram_hashes",
     "contamination",
+    "bm25_rank",
     "PII_PATTERNS",
     "pii_redact",
     "pii_stats",
@@ -80,6 +83,152 @@ def hash_split(
         else:
             expr = F.when(bucket < F.lit(bound), F.lit(name)).otherwise(expr)
     return df.withColumn(out_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the language/domain
+    rebalancing step of corpus mixing (e.g. cap English at 30%, keep all
+    low-resource strata).
+
+    Same mechanism as hash_split: a row survives iff the first 4 hex digits
+    of md5(id) fall below its stratum's bound, where bound =
+    floor(fraction * 0x10000) rendered as a 4-hex-digit literal. Per-row
+    independent (no shuffle, no RNG, no count pass): re-running on a grown
+    corpus keeps every previously-kept row, which makes incremental corpus
+    refreshes reproducible. Sampling error per stratum is binomial around
+    fraction with 1/65536 quantization; strata absent from `fractions` get
+    `default_fraction` (0.0 = drop — the explicit-allowlist mixing mode).
+
+    Engine-portable by construction (md5 + string compare), like
+    DEFAULT_SPLITS above.
+    """
+    bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+
+    def bound(frac: float) -> str:
+        v = int(frac * 0x10000)
+        if v >= 0x10000:
+            # 'g' sorts above every 4-hex-digit bucket -> keep-all. (A
+            # 5-char numeric bound like '10000' would NOT: '1abc' > '10000'
+            # lexicographically, silently dropping 3/8 of a full stratum.)
+            return "g"
+        return format(max(v, 0), "04x")
+
+    expr = F.lit(bound(default_fraction))
+    for name, frac in sorted(fractions.items()):
+        expr = F.when(F.col(strata_col) == F.lit(name), F.lit(bound(frac))).otherwise(
+            expr
+        )
+    return df.where(bucket < expr)
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_col: str = "lang",
+    score_col: str = "score",
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Best-k rows per stratum by score (ties broken by id, so the
+    selection is total-ordered and engine-reproducible) — the
+    quality-filter selection step: keep the k highest-quality documents
+    per language/domain after scoring.
+
+    One shuffle (the window partition by stratum) and the per-partition
+    sort is the whole cost; rows beyond rank k never leave the executor.
+    At 10^12 rows with few strata the partitions skew — pre-aggregate with
+    an approximate per-stratum threshold first (filter score >= quantile)
+    so the window only ranks the survivors; for the corpus-curation
+    cardinalities this operator targets (k in the tens-to-thousands per
+    stratum) the direct window is the right plan.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.desc(score_col), F.col(id_col))
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
+def bm25_rank(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+) -> DataFrame:
+    """BM25 relevance top-k: score every document against a bag of query
+    terms and return the k best -> (id, bm25) — the retrieval step of
+    targeted corpus selection (pull the documents most relevant to a seed
+    query, DSIR/SemDeDup-style curation) and the classic quality-weighted
+    ranking function.
+
+    score(d) = sum over query terms t of
+        ln(1 + (N - df_t + 0.5)/(df_t + 0.5))           [idf]
+        * tf_td*(k1+1) / (tf_td + k1*(1 - b + b*dl_d/avgdl))
+
+    Plan shape (zero UDFs, engine-portable expressions):
+      1. one corpus scan builds (id, dl, matched-term) rows — the term
+         filter runs INSIDE the token array (array_intersect-style
+         `F.filter`) BEFORE the explode, so the shuffle carries only
+         query-term hits, not the corpus;
+      2. per-(id, term) tf via map-side-combinable count;
+      3. df_t and (N, avgdl) are tiny aggregates, broadcast back;
+      4. TakeOrderedAndProject for the final top-k.
+    The big side is scanned once and shuffled only on its query-hit
+    subset — at 100 TB the shuffle is proportional to the hit count.
+    Scores are rounded to 4 decimals so cross-engine float parity is
+    stable (same discipline as text_quality).
+    """
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    base = df.select(
+        F.col(id_col).alias("id"), _tokens(text_col).alias("toks")
+    ).withColumn("dl", F.size("toks"))
+    stats = base.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        base.select(
+            "id",
+            "dl",
+            F.explode(
+                F.filter(F.col("toks"), lambda t: F.array_contains(term_arr, t))
+            ).alias("term"),
+        )
+        .groupBy("id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "s",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+            * F.col("tf")
+            * F.lit(k1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    agg = scored.groupBy("id").agg(F.round(F.sum("s"), 4).alias("bm25"))
+    return agg.orderBy(F.desc("bm25"), "id").limit(k)
 
 
 def _tokens(text_col: str):

@@ -136,3 +136,57 @@ def test_pii_plan_is_pure_codegen(spark):
     d = _docs(spark)
     plan = CU.pii_redact(d)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_stratified_sample_keepall_and_drop(spark):
+    """fraction 1.0 keeps EVERY row of the stratum (the 'g' sentinel bound:
+    a naive 5-char '10000' bound would lexicographically drop buckets like
+    '1abc'), fraction 0.0 / absent strata drop entirely."""
+    d = _docs(spark)
+    out = CU.stratified_sample(d, {"fr": 1.0, "zh": 0.0})
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    want_fr = d.where("lang = 'fr'").count()
+    assert got == {"fr": want_fr}
+
+
+def test_stratified_sample_subset_and_fraction(spark):
+    """Survivors at fraction f are exactly the survivors at f' > f whose
+    bucket also clears f (nested samples — the incremental-refresh
+    property), and the realized rate is binomial-close to f."""
+    d = _docs(spark)
+    small = {r["doc_id"] for r in CU.stratified_sample(d, {"en": 0.2}).collect()}
+    big = {r["doc_id"] for r in CU.stratified_sample(d, {"en": 0.6}).collect()}
+    assert small <= big
+    n_en = d.where("lang = 'en'").count()
+    assert 0.08 <= len(small) / n_en <= 0.35
+    assert 0.4 <= len(big) / n_en <= 0.8
+
+
+def test_topk_per_group_rank_and_tiebreak(spark):
+    d = _docs(spark)
+    out = CU.topk_per_group(d, "lang", "n_chars", k=3).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append((r["n_chars"], r["doc_id"]))
+    rows = d.select("lang", "n_chars", "doc_id").collect()
+    want = {}
+    for r in rows:
+        want.setdefault(r["lang"], []).append((-r["n_chars"], r["doc_id"]))
+    for lang, got in by_lang.items():
+        exp = sorted(want[lang])[:3]
+        assert sorted((-c, i) for c, i in got) == exp, lang
+
+
+def test_bm25_monotone_in_term_hits(spark):
+    """Sanity on synthetic rows: a doc containing more distinct query
+    terms (same length) scores strictly higher; a doc with none is
+    absent."""
+    rows = [
+        (1, "join shuffle broadcast pad pad pad"),
+        (2, "join pad pad pad pad pad"),
+        (3, "nothing here at all pad pad"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["id"]: r["bm25"] for r in CU.bm25_rank(d, ["join", "shuffle", "broadcast"], k=10).collect()}
+    assert set(got) == {1, 2}
+    assert got[1] > got[2] > 0
