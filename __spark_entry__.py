@@ -30,6 +30,7 @@ from clp_spark.functions import text_metrics as TM
 from clp_spark.operators import asof as ASOF
 from clp_spark.operators import curation as CU
 from clp_spark.operators import dedup as DD
+from clp_spark.operators import packing as PK
 from clp_spark.operators import cluster as CL
 from clp_spark.operators import sessionize as SESS
 from clp_spark.operators import similarity as SIM
@@ -620,6 +621,19 @@ def q_topk_quality(spark, sf_dir):
     )
 
 
+def q_pack_stats(spark, sf_dir):
+    """Sequence packing audit (operators/packing.py): pack documents into
+    512-token training sequences via sharded best-fit-decreasing, report
+    (n_docs, n_bins, efficiency). Bin assignment is a driver-side-free
+    greedy per shard — not ANSI-SQL-expressible, so this is a rows-only
+    entry; the exactly-once/budget/determinism invariants live in
+    tests/test_packing.py. Fixed n_shards=8 keeps the result independent
+    of the runner's parallelism."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    packed = PK.pack_sequences(d, 512, n_shards=8)
+    return PK.packing_stats(packed, 512)
+
+
 def q_bm25_rank(spark, sf_dir):
     """BM25 top-20 against a seed query (targeted corpus selection): term
     filter inside the token array before the explode, tiny df/corpus stats
@@ -963,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "neardup_clusters_lsh": q_neardup_clusters_lsh,
         "knn_join_ivf": q_knn_join_ivf,
+        "pack_stats": q_pack_stats,
         # ---- oracle-bearing but PAST the driver's 50-row window: the first
         # 50 slots are all oracle-bearing already, so these overflow entries
         # get their DuckDB parity from tests/test_parity_full.py instead

@@ -1,0 +1,145 @@
+"""Sequence packing: assign documents to fixed-token-budget training
+sequences (bins) — the packing step between curation and tokenization in an
+LLM training-data pipeline (pack short documents together so every training
+sequence is ~context-length full instead of mostly padding).
+
+No counterpart in the reference repo (CLP stops at search/agg over logs);
+training-data-pipeline extension mandate, same as operators/curation.py.
+
+Scale shape (10^12-doc regime): bin packing is inherently sequential, so the
+global problem is sharded — `repartition(n_shards, id)` balances documents
+across shards, each shard packs INDEPENDENTLY with best-fit-decreasing
+(O(n log n) per shard), and bin ids are made globally unique by prefixing
+the shard's task partition id. Packing quality loss vs a (impossible)
+global pack is bounded: each shard wastes at most its own fragmentation,
+and with thousands of docs per shard BFD sits within a few percent of
+optimal. The only shuffle is the sharding repartition; the pack itself
+streams one shard per task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pack_sequences", "packing_stats"]
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Pack documents into training sequences of at most `max_tokens`
+    whitespace-ish tokens -> (id, n_tokens, truncated, bin_id, offset).
+
+    * n_tokens: the document's token count (lowercased alnum runs — the
+      same counting rule as curation/text_metrics, so budgets line up with
+      vocab/contamination numbers).
+    * truncated: doc alone exceeds max_tokens; it occupies a bin SOLO and
+      charges the full budget (actual truncation belongs to the tokenizer
+      downstream — packing must not silently drop data).
+    * bin_id: globally unique "shard-k" string; offset: the doc's position
+      within its bin (0-based), deterministic.
+
+    Deterministic end to end: sharding is hash(id), each shard sorts by
+    (n_tokens desc, id) before best-fit-decreasing, and best-fit breaks
+    capacity ties by lowest bin index.
+    """
+    import bisect
+
+    import pandas as pd
+    from pyspark import TaskContext
+    from pyspark.sql import types as T
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+    src = df.select(
+        F.col(id_col).alias("id"), F.size(toks).alias("n_tokens")
+    )
+    shards = n_shards or df.sparkSession.sparkContext.defaultParallelism
+    src = src.repartition(shards, F.col("id"))
+
+    id_field = src.schema["id"]
+    out_schema = T.StructType(
+        [
+            id_field,
+            T.StructField("n_tokens", T.IntegerType()),
+            T.StructField("truncated", T.BooleanType()),
+            T.StructField("bin_id", T.StringType()),
+            T.StructField("offset", T.IntegerType()),
+        ]
+    )
+
+    def pack(batches):
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        shard = TaskContext.get().partitionId()
+        # best-fit-decreasing: sort docs desc by size (id tiebreak), place
+        # each into the open bin with the SMALLEST remaining capacity that
+        # still fits (bisect over a sorted capacity list); open a new bin
+        # when none fits. Oversize docs get a solo bin immediately.
+        pdf = pdf.sort_values(
+            ["n_tokens", "id"], ascending=[False, True], ignore_index=True
+        )
+        caps: list[int] = []  # sorted remaining capacities of open bins
+        cap_bin: list[int] = []  # bin index aligned with caps
+        n_bins = 0
+        fill: dict[int, int] = {}  # bin -> docs placed (next offset)
+        out_bin = [0] * len(pdf)
+        out_off = [0] * len(pdf)
+        out_trunc = [False] * len(pdf)
+        for i, nt in enumerate(pdf["n_tokens"]):
+            nt = int(nt)
+            if nt >= max_tokens:
+                b = n_bins
+                n_bins += 1
+                fill[b] = 1
+                out_bin[i], out_off[i], out_trunc[i] = b, 0, nt > max_tokens
+                continue
+            j = bisect.bisect_left(caps, nt)
+            if j < len(caps):
+                b = cap_bin[j]
+                rem = caps[j] - nt
+                del caps[j], cap_bin[j]
+            else:
+                b = n_bins
+                n_bins += 1
+                fill[b] = 0
+                rem = max_tokens - nt
+            out_bin[i] = b
+            out_off[i] = fill[b]
+            fill[b] += 1
+            k = bisect.bisect_left(caps, rem)
+            caps.insert(k, rem)
+            cap_bin.insert(k, b)
+        yield pd.DataFrame(
+            {
+                "id": pdf["id"],
+                "n_tokens": pdf["n_tokens"].astype("int32"),
+                "truncated": out_trunc,
+                "bin_id": [f"{shard}-{b}" for b in out_bin],
+                "offset": pd.Series(out_off, dtype="int32"),
+            }
+        )
+
+    return src.mapInPandas(pack, out_schema)
+
+
+def packing_stats(packed: DataFrame, max_tokens: int) -> DataFrame:
+    """One-row packing audit: docs, bins, packing efficiency (token budget
+    actually used: sum(min(n_tokens, max)) / bins*max), truncated docs."""
+    per_bin = packed.groupBy("bin_id").agg(
+        F.sum(F.least(F.col("n_tokens"), F.lit(max_tokens))).alias("used"),
+        F.count("*").alias("n_docs"),
+    )
+    return per_bin.agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.count("*").alias("n_bins"),
+        F.round(F.sum("used") / (F.count("*") * max_tokens), 4).alias("efficiency"),
+    )
