@@ -31,6 +31,7 @@ from clp_spark.operators import asof as ASOF
 from clp_spark.operators import curation as CU
 from clp_spark.operators import dedup as DD
 from clp_spark.operators import packing as PK
+from clp_spark.operators import reduce_dim as RD
 from clp_spark.operators import cluster as CL
 from clp_spark.operators import sessionize as SESS
 from clp_spark.operators import similarity as SIM
@@ -634,6 +635,22 @@ def q_pack_stats(spark, sf_dir):
     return PK.packing_stats(packed, 512)
 
 
+def q_pca_variance(spark, sf_dir):
+    """Distributed PCA fit over the embeddings table
+    (operators/reduce_dim.py: one scan emitting d x d moment partials, no
+    shuffle, driver eigh) -> top-8 components' explained-variance ratios.
+    Eigendecomposition is not ANSI-SQL-expressible, so rows-only; exact
+    numpy parity + orthonormality live in tests/test_reduce_dim.py."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mean, comps, evals = RD.pca_fit(e, k=8)
+    total = float(evals.sum())
+    rows = [
+        (i, round(float(v) / total, 6) if total else 0.0)
+        for i, v in enumerate(evals)
+    ]
+    return spark.createDataFrame(rows, ["component", "variance_ratio_of_top8"])
+
+
 def q_bm25_rank(spark, sf_dir):
     """BM25 top-20 against a seed query (targeted corpus selection): term
     filter inside the token array before the explode, tiny df/corpus stats
@@ -978,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters_lsh": q_neardup_clusters_lsh,
         "knn_join_ivf": q_knn_join_ivf,
         "pack_stats": q_pack_stats,
+        "pca_variance": q_pca_variance,
         # ---- oracle-bearing but PAST the driver's 50-row window: the first
         # 50 slots are all oracle-bearing already, so these overflow entries
         # get their DuckDB parity from tests/test_parity_full.py instead
