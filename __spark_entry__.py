@@ -837,11 +837,12 @@ def _query_vec(spark, sf_dir):
 
 
 def q_operator_invariants(spark, sf_dir):
-    """All six signature-operator invariants as ONE oracle-checked row
-    (missed=0, diff=0, bad=0, violations=0, ok=1, ok_ivf=1) — the same
-    proofs as the individual q_*_check queries (still defined above and
-    pytest-run), but occupying one slot of the driver's 50-row correctness
-    window so the freed slots go to oracle-bearing operator queries."""
+    """All signature-operator invariants as ONE oracle-checked row
+    (missed=0, diff=0, bad=0, violations=0, ok=1, ok_ivf=1, ok_clusters=1,
+    ok_pack=1, ok_pca=1) — the same proofs as the individual q_*_check
+    queries (still defined above and pytest-run), but occupying one slot of
+    the driver's 50-row correctness window so the freed slots go to
+    oracle-bearing operator queries."""
     row = (
         q_lsh_superset_check(spark, sf_dir)
         .crossJoin(q_simhash_neardup_check(spark, sf_dir))
@@ -850,8 +851,62 @@ def q_operator_invariants(spark, sf_dir):
         .crossJoin(q_ann_lsh_exactmatch_check(spark, sf_dir))
         .crossJoin(q_ann_ivf_exactmatch_check(spark, sf_dir))
         .crossJoin(q_clusters_lsh_parity_check(spark, sf_dir))
+        .crossJoin(q_packing_check(spark, sf_dir))
+        .crossJoin(q_pca_check(spark, sf_dir))
     )
     return row
+
+
+def q_packing_check(spark, sf_dir):
+    """Sequence-packing invariants, Spark-checked: every document assigned
+    exactly once AND no multi-document bin exceeds the token budget
+    (oversize docs sit in solo bins by construction). Output: ok_pack = 1."""
+    budget = 512
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    packed = PK.pack_sequences(d, budget, n_shards=8)
+    counts = packed.agg(
+        F.count("*").alias("c"), F.countDistinct("id").alias("cd")
+    )
+    docs = d.agg(F.count("*").alias("cdoc"))
+    bad = (
+        packed.groupBy("bin_id")
+        .agg(F.sum("n_tokens").alias("tot"), F.count("*").alias("nd"))
+        .agg(
+            F.sum(
+                F.when((F.col("nd") > 1) & (F.col("tot") > budget), 1).otherwise(0)
+            ).alias("badbins")
+        )
+    )
+    return (
+        counts.crossJoin(docs)
+        .crossJoin(bad)
+        .select(
+            F.when(
+                (F.col("c") == F.col("cdoc"))
+                & (F.col("cd") == F.col("cdoc"))
+                & (F.col("badbins") == 0),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("ok_pack")
+        )
+    )
+
+
+def q_pca_check(spark, sf_dir):
+    """PCA-fit invariants: components orthonormal, explained variance
+    non-negative and descending (the distributed moment reduce produced a
+    valid eigendecomposition). Output: ok_pca = 1."""
+    import numpy as np
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _, comps, evals = RD.pca_fit(e, k=8)
+    ok = (
+        np.allclose(comps @ comps.T, np.eye(len(comps)), atol=1e-8)
+        and all(evals[i] >= evals[i + 1] - 1e-12 for i in range(len(evals) - 1))
+        and evals[-1] >= -1e-12
+    )
+    return spark.createDataFrame([(int(ok),)], "ok_pca int")
 
 
 def q_clusters_lsh_parity_check(spark, sf_dir):
@@ -1479,7 +1534,7 @@ SELECT vec_id, nbr_id, rank, sim FROM ranked WHERE rank <= 5"""
         "operator_invariants": (
             "SELECT cast(0 as bigint) AS missed, cast(0 as bigint) AS diff, "
             "cast(0 as bigint) AS bad, cast(0 as bigint) AS violations, "
-            "1 AS ok, 1 AS ok_ivf, 1 AS ok_clusters"
+            "1 AS ok, 1 AS ok_ivf, 1 AS ok_clusters, 1 AS ok_pack, 1 AS ok_pca"
         ),
         "asof_enrich": (
             """WITH dim AS (
