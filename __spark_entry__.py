@@ -32,6 +32,7 @@ from clp_spark.operators import curation as CU
 from clp_spark.operators import dedup as DD
 from clp_spark.operators import packing as PK
 from clp_spark.operators import reduce_dim as RD
+from clp_spark.operators import bpe as BPE
 from clp_spark.operators import cluster as CL
 from clp_spark.operators import sessionize as SESS
 from clp_spark.operators import similarity as SIM
@@ -651,6 +652,19 @@ def q_pca_variance(spark, sf_dir):
     return spark.createDataFrame(rows, ["component", "variance_ratio_of_top8"])
 
 
+def q_bpe_top_merges(spark, sf_dir):
+    """BPE tokenizer training (operators/bpe.py): ONE distributed scan
+    builds the word-frequency table (Heaps'-law small), the merge loop runs
+    on that aggregate — the corpus is never rescanned. First 30 learned
+    merge rules, deterministic (lexicographic tie-break). Not
+    ANSI-SQL-expressible (iterative), so rows-only; from-scratch-reference
+    parity and lossless round-trip live in tests/test_bpe.py."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = BPE.bpe_train(d, n_merges=30)
+    rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
+    return spark.createDataFrame(rows, "rank int, left string, right string")
+
+
 def q_bm25_rank(spark, sf_dir):
     """BM25 top-20 against a seed query (targeted corpus selection): term
     filter inside the token array before the explode, tiny df/corpus stats
@@ -1051,6 +1065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_ivf": q_knn_join_ivf,
         "pack_stats": q_pack_stats,
         "pca_variance": q_pca_variance,
+        "bpe_top_merges": q_bpe_top_merges,
         # ---- oracle-bearing but PAST the driver's 50-row window: the first
         # 50 slots are all oracle-bearing already, so these overflow entries
         # get their DuckDB parity from tests/test_parity_full.py instead
