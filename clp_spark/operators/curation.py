@@ -182,13 +182,20 @@ def bm25_rank(
          `F.filter`) BEFORE the explode, so the shuffle carries only
          query-term hits, not the corpus;
       2. per-(id, term) tf via map-side-combinable count;
-      3. df_t and (N, avgdl) are tiny aggregates, broadcast back;
-      4. TakeOrderedAndProject for the final top-k.
-    The big side is scanned once and shuffled only on its query-hit
-    subset — at 100 TB the shuffle is proportional to the hit count.
-    Scores are rounded to 4 decimals so cross-engine float parity is
-    stable (same discipline as text_quality).
+      3. df_t comes from a WINDOW over tf (one row per (id, term), so
+         count(*) per term IS the document frequency) — reusing the
+         already-shuffled hit set instead of recomputing the tf lineage
+         for a separate groupBy(term), which would have re-tokenized the
+         whole corpus a third time;
+      4. (N, avgdl) is one tiny (id, dl)-projection aggregate, broadcast;
+      5. TakeOrderedAndProject for the final top-k.
+    The corpus is tokenized twice (tf scan + length-stats scan) and
+    shuffled only on its query-hit subset — at 100 TB the shuffle is
+    proportional to the hit count. Scores are rounded to 4 decimals so
+    cross-engine float parity is stable (same discipline as text_quality).
     """
+    from pyspark.sql import Window
+
     term_arr = F.array(*[F.lit(t) for t in terms])
     base = df.select(
         F.col(id_col).alias("id"), _tokens(text_col).alias("toks")
@@ -207,9 +214,8 @@ def bm25_rank(
         .groupBy("id", "dl", "term")
         .agg(F.count("*").alias("tf"))
     )
-    dfreq = tf.groupBy("term").agg(F.countDistinct("id").alias("df"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "s",
