@@ -115,6 +115,61 @@ def extract_features(
     return media.mapInPandas(run, schema=schema)
 
 
+def resize_images(
+    media: DataFrame,
+    out_w: int,
+    out_h: int,
+    decoder: Callable[..., np.ndarray] | None = None,
+) -> DataFrame:
+    """Image resize (nearest-neighbor, pure numpy index mapping): decode ->
+    resample -> re-encode PPM, one Arrow batch at a time -> (media_id,
+    payload, mime, width, height). The full decode/transform/re-encode leg
+    of a multimodal pipeline with library-free codecs; inject a PIL/openCV
+    `decoder` for JPEG/PNG on a real cluster — plumbing identical.
+
+    Per-image cost is pixel-proportional numpy fancy indexing; the Python
+    loop per batch only pays per-image overhead (payloads dominate).
+    Non-image rows are filtered out BEFORE the payload ever leaves the
+    scan (column-pruned filter on `kind`)."""
+    dec = decoder or decode_image
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("mime", StringType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for payload, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
+                img = dec(bytes(payload), int(w), int(h))
+                rows = (np.arange(out_h) * img.shape[0]) // out_h
+                cols = (np.arange(out_w) * img.shape[1]) // out_w
+                small = img[rows][:, cols]
+                if small.ndim == 2:  # grayscale -> 3-channel for PPM
+                    small = np.repeat(small[:, :, None], 3, axis=2)
+                payloads.append(bytearray(encode_ppm(small.astype(np.uint8))))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "mime": "image/x-portable-pixmap",
+                    "width": np.int32(out_w),
+                    "height": np.int32(out_h),
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "payload", "width", "height")
+        .mapInPandas(run, schema=schema)
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: one row per (media_id, frame_ts_ms) without
     touching payloads (pure column ops; the decode happens downstream)."""

@@ -54,6 +54,28 @@ def test_metadata_stats_prunes_payload_from_shuffle(spark, media):
     assert df.count() == 3
 
 
+def test_resize_images_roundtrip(spark, media):
+    """Resize decodes the real PPM payloads, resamples with nearest-neighbor
+    index mapping, re-encodes PPM; output payloads decode to the target
+    shape and match a direct numpy resample of the source image."""
+    import numpy as np
+
+    out = MM.resize_images(media, out_w=16, out_h=12)
+    rows = {r["media_id"]: r for r in out.collect()}
+    src = {r["media_id"]: r for r in media.filter("kind = 'image'").collect()}
+    assert set(rows) == set(src)
+    for mid, r in rows.items():
+        assert (r["width"], r["height"]) == (16, 12)
+        # decode_ppm grayscales (mean over RGB); the resize replicated the
+        # gray channel 3x, so the mean is the gray value itself
+        small = MM.decode_ppm(bytes(r["payload"]))
+        assert small.shape == (12, 16)
+        img = MM.decode_ppm(bytes(src[mid]["payload"]))
+        rr = (np.arange(12) * img.shape[0]) // 12
+        cc = (np.arange(16) * img.shape[1]) // 16
+        assert np.array_equal(small, img[rr][:, cc])
+
+
 def test_dedup_exact_keeps_one_per_text(spark):
     d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     out = DD.dedup_exact(d)
