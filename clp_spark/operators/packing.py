@@ -47,6 +47,11 @@ def pack_sequences(
     Deterministic end to end: sharding is hash(id), each shard sorts by
     (n_tokens desc, id) before best-fit-decreasing, and best-fit breaks
     capacity ties by lowest bin index.
+
+    Memory: a task holds ONE shard's (id, n_tokens) pairs (~16 bytes/doc
+    plus pandas overhead) — size `n_shards` so docs-per-shard stays in the
+    low millions (e.g. n_shards = n_docs // 2_000_000 at the extreme
+    scale); the default (defaultParallelism) fits the test/bench regimes.
     """
     import bisect
 
