@@ -33,6 +33,7 @@ from clp_spark.operators import dedup as DD
 from clp_spark.operators import packing as PK
 from clp_spark.operators import reduce_dim as RD
 from clp_spark.operators import bpe as BPE
+from clp_spark.operators import context as CTX
 from clp_spark.operators import cluster as CL
 from clp_spark.operators import sessionize as SESS
 from clp_spark.operators import similarity as SIM
@@ -673,6 +674,32 @@ def q_bm25_rank(spark, sf_dir):
     return CU.bm25_rank(d, BM25_TERMS)
 
 
+CONTEXT_TURNS = 3
+
+
+def q_context_windows(spark, sf_dir):
+    """SFT training-pair assembly (operators/context.py): each turn with
+    its previous 3 turns as ordered context — one Sort+Window shuffle on
+    conv_id. Context is emitted newline-joined so the cross-engine value
+    hash compares plain strings."""
+    t = load_transcripts(spark, sf_dir)
+    cw = CTX.context_windows(t, n_turns=CONTEXT_TURNS)
+    return cw.select(
+        "conv_id",
+        "turn_idx",
+        F.array_join("context", "\n").alias("context"),
+        "target",
+    )
+
+
+def q_flatten_conversations(spark, sf_dir):
+    """Chat-corpus flattening (operators/context.py): each conversation as
+    ONE role-tagged document, turns joined in turn_idx order — single
+    groupBy shuffle, per-group sort of a struct array."""
+    t = load_transcripts(spark, sf_dir)
+    return CTX.flatten_conversations(t)
+
+
 SESSION_GAP_MINUTES = 480.0  # 8 h; the events corpus has ~7 h median inter-event gap
 
 
@@ -1077,6 +1104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "topk_quality": q_topk_quality,
         "bm25_rank": q_bm25_rank,
+        "context_windows": q_context_windows,
+        "flatten_conversations": q_flatten_conversations,
         "events_by_type": q_events_by_type,
     }
 
@@ -1635,6 +1664,21 @@ scored AS (
 )
 SELECT id, round(sum(sc), 4) AS bm25 FROM scored GROUP BY 1
 ORDER BY bm25 DESC, id LIMIT 20"""
+        ),
+        "context_windows": (
+            _CTE
+            + """SELECT conv_id, turn_idx,
+  coalesce(array_to_string(list(text) OVER (
+    PARTITION BY conv_id ORDER BY turn_idx
+    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), chr(10)), '') AS context,
+  text AS target
+FROM transcripts"""
+        ),
+        "flatten_conversations": (
+            _CTE
+            + """SELECT conv_id, count(*) AS n_turns,
+  string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS doc
+FROM transcripts GROUP BY conv_id"""
         ),
         # minhash_lsh_dups / simhash / fingerprint / ann_topk_lsh: hash- or
         # signature-based (not ANSI-SQL-expressible) -> driver rows-only check.
