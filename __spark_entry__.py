@@ -34,6 +34,7 @@ from clp_spark.operators import packing as PK
 from clp_spark.operators import reduce_dim as RD
 from clp_spark.operators import bpe as BPE
 from clp_spark.operators import context as CTX
+from clp_spark.operators import quantize as QZ
 from clp_spark.operators import cluster as CL
 from clp_spark.operators import sessionize as SESS
 from clp_spark.operators import similarity as SIM
@@ -666,6 +667,29 @@ def q_bpe_top_merges(spark, sf_dir):
     return spark.createDataFrame(rows, "rank int, left string, right string")
 
 
+def q_quantize_error(spark, sf_dir):
+    """int8 embedding quantization audit (operators/quantize.py): corpus
+    max/mean absolute reconstruction error and the max per-vector bound
+    (scale/2), rounded. The quantize/dequantize round-trip is numpy inside
+    mapInPandas (not ANSI-SQL-expressible) -> rows-only; the error-bound
+    proof lives in tests/test_quantize.py."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rt = QZ.dequantize_embeddings(QZ.quantize_embeddings(e))
+    err = F.zip_with(
+        "embedding", "embedding_deq", lambda a, b: F.abs(a.cast("double") - b)
+    )
+    return rt.select(
+        F.array_max(err).alias("vec_err"), (F.col("q_scale") / 2).alias("bound")
+    ).agg(
+        F.round(F.max("vec_err"), 6).alias("max_err"),
+        F.round(F.avg("vec_err"), 6).alias("mean_max_err"),
+        F.round(F.max("bound"), 6).alias("max_bound"),
+        F.sum(F.when(F.col("vec_err") > F.col("bound") + 1e-9, 1).otherwise(0)).alias(
+            "bound_violations"
+        ),
+    )
+
+
 def q_bm25_rank(spark, sf_dir):
     """BM25 top-20 against a seed query (targeted corpus selection): term
     filter inside the token array before the explode, tiny df/corpus stats
@@ -1093,6 +1117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_stats": q_pack_stats,
         "pca_variance": q_pca_variance,
         "bpe_top_merges": q_bpe_top_merges,
+        "quantize_error": q_quantize_error,
         # ---- oracle-bearing but PAST the driver's 50-row window: the first
         # 50 slots are all oracle-bearing already, so these overflow entries
         # get their DuckDB parity from tests/test_parity_full.py instead

@@ -150,10 +150,11 @@ def topk_per_group(
     from pyspark.sql import Window
 
     w = Window.partitionBy(group_col).orderBy(F.desc(score_col), F.col(id_col))
+    rk = "_topk_rank"  # sentinel, so a user column named "rank" survives
     return (
-        df.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .drop("rank")
+        df.withColumn(rk, F.row_number().over(w))
+        .where(F.col(rk) <= k)
+        .drop(rk)
     )
 
 
@@ -196,6 +197,8 @@ def bm25_rank(
     """
     from pyspark.sql import Window
 
+    if not terms:
+        raise ValueError("bm25_rank: terms must be non-empty")
     term_arr = F.array(*[F.lit(t) for t in terms])
     base = df.select(
         F.col(id_col).alias("id"), _tokens(text_col).alias("toks")

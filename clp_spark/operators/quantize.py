@@ -1,0 +1,82 @@
+"""Embedding quantization: float32 vectors -> int8 + per-vector scale, and
+back — the storage/bandwidth step of a vector pipeline at 100 TB (a 4x cut
+on the dominant column, and int8 GEMM-ready layout for ANN re-rank).
+
+No counterpart in the reference repo; training-data-pipeline extension
+mandate, same as operators/similarity.py.
+
+Symmetric per-vector scalar quantization: scale = max|x| / 127, q =
+round(x / scale) in [-127, 127]. Per-element reconstruction error is
+bounded by scale/2 BY CONSTRUCTION, which the tests pin. Both directions
+are one numpy pass per Arrow batch (no shuffle, embarrassingly parallel).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+__all__ = ["quantize_embeddings", "dequantize_embeddings"]
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "q"
+) -> DataFrame:
+    """df + (out_col: array<tinyint>, out_col_scale: double). All-zero
+    vectors get scale 0 and an all-zero code (dequantizes to exact)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    scale_col = f"{out_col}_scale"
+    out_schema = T.StructType(
+        list(df.schema)
+        + [
+            T.StructField(out_col, T.ArrayType(T.ByteType())),
+            T.StructField(scale_col, T.DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            amax = np.abs(x).max(axis=1)
+            scale = amax / 127.0
+            safe = np.where(scale == 0.0, 1.0, scale)
+            q = np.clip(np.rint(x / safe[:, None]), -127, 127).astype(np.int8)
+            pdf = pdf.copy()
+            pdf[out_col] = [row.tolist() for row in q]
+            pdf[scale_col] = scale
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
+def dequantize_embeddings(
+    df: DataFrame,
+    q_col: str = "q",
+    scale_col: str = "q_scale",
+    out_col: str = "embedding_deq",
+) -> DataFrame:
+    """df + (out_col: array<double>): q * scale, one numpy pass per batch."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema) + [T.StructField(out_col, T.ArrayType(T.DoubleType()))]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[q_col]])
+            x = q * pdf[scale_col].to_numpy()[:, None]
+            pdf = pdf.copy()
+            pdf[out_col] = [row.tolist() for row in x]
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
