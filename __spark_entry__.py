@@ -1620,8 +1620,8 @@ FROM f ASOF LEFT JOIN dim d
         # tests/test_parity_full.py; see the queries() ordering note)
         "split_counts": (
             """SELECT CASE
-  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
-  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+  WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+  WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
   ELSE 'test' END AS split, lang, count(*) AS n
 FROM documents GROUP BY 1, 2"""
         ),
@@ -1653,7 +1653,7 @@ WHERE g.doc_id % 20 <> 0 GROUP BY 1"""
         ),
         "stratified_sample": (
             """SELECT lang, count(*) AS n FROM documents
-WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 4) <
   CASE lang WHEN 'en' THEN '4000' WHEN 'fr' THEN 'g'
             WHEN 'es' THEN '8000' WHEN 'de' THEN '1999' ELSE '0000' END
 GROUP BY 1"""

@@ -70,12 +70,24 @@ def hash_split(
 ) -> DataFrame:
     """Deterministic, stateless train/val/test assignment.
 
-    bucket = first 4 hex digits of md5(cast(id as string)); each row takes
-    the first split whose bound is lexicographically above its bucket.
-    Per-row independent: no shuffle, no RNG, stable under repartitioning,
-    under corpus growth, and across engines (md5 is md5 everywhere).
+    bucket = first 4 hex digits of md5('split:' || cast(id as string));
+    each row takes the first split whose bound is lexicographically above
+    its bucket. Per-row independent: no shuffle, no RNG, stable under
+    repartitioning, under corpus growth, and across engines (md5 is md5
+    everywhere).
+
+    The hash is SALTED with the operator's purpose ("split:") so that
+    composing it with other md5-bucket operators stays independent: an
+    unsalted md5(id) here and in stratified_sample would make "survived a
+    sample at fraction f" a strict prefix of the train range — every
+    sampled row would land in train and val/test would come out empty.
+    With distinct salts the two bucketings are independent hash functions
+    and sample∘split yields all splits at spec rates (pinned by
+    tests/test_curation.py::test_sample_then_split_composition).
     """
-    bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+    bucket = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col(id_col).cast("string"))), 1, 4
+    )
     expr = None
     for name, bound in reversed(splits):
         if bound is None:
@@ -96,8 +108,11 @@ def stratified_sample(
     rebalancing step of corpus mixing (e.g. cap English at 30%, keep all
     low-resource strata).
 
-    Same mechanism as hash_split: a row survives iff the first 4 hex digits
-    of md5(id) fall below its stratum's bound, where bound =
+    Same mechanism as hash_split, with its own purpose salt ("sample:") so
+    the survivor set is independent of hash_split's bucketing (see
+    hash_split's docstring for why the composition degenerates without
+    salts): a row survives iff the first 4 hex digits of
+    md5('sample:' || id) fall below its stratum's bound, where bound =
     floor(fraction * 0x10000) rendered as a 4-hex-digit literal. Per-row
     independent (no shuffle, no RNG, no count pass): re-running on a grown
     corpus keeps every previously-kept row, which makes incremental corpus
@@ -108,7 +123,9 @@ def stratified_sample(
     Engine-portable by construction (md5 + string compare), like
     DEFAULT_SPLITS above.
     """
-    bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+    bucket = F.substring(
+        F.md5(F.concat(F.lit("sample:"), F.col(id_col).cast("string"))), 1, 4
+    )
 
     def bound(frac: float) -> str:
         v = int(frac * 0x10000)

@@ -162,6 +162,30 @@ def test_stratified_sample_subset_and_fraction(spark):
     assert 0.4 <= len(big) / n_en <= 0.8
 
 
+def test_sample_then_split_composition(spark):
+    """The pipeline-order composition sample -> split must yield ALL three
+    splits at spec rates. With UNSALTED md5 buckets both operators key on
+    the same hash, so 'survived a sample at fraction f <= 0.8' is a strict
+    prefix of the train range and val/test come out EMPTY; the per-purpose
+    salts ('sample:' / 'split:') make the bucketings independent."""
+    d = _docs(spark)
+    langs = [r["lang"] for r in d.select("lang").distinct().collect()]
+    sampled = CU.stratified_sample(d, {lang: 0.5 for lang in langs})
+    counts = {
+        r["split"]: r["n"]
+        for r in CU.hash_split(sampled)
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    n = sum(counts.values())
+    # ~250 sampled docs at sf0.001: every split present, binomial-tolerant
+    assert set(counts) == {"train", "val", "test"}, counts
+    assert 0.65 <= counts["train"] / n <= 0.92
+    assert 0.03 <= counts["val"] / n <= 0.20
+    assert 0.03 <= counts["test"] / n <= 0.20
+
+
 def test_topk_per_group_rank_and_tiebreak(spark):
     d = _docs(spark)
     out = CU.topk_per_group(d, "lang", "n_chars", k=3).collect()
