@@ -72,8 +72,17 @@ def flatten_conversations(
     the sort runs per group AFTER the single groupBy shuffle, and struct
     ordering on the leading int32 turn_idx makes it total and
     engine-reproducible.
+
+    NULL role/text coalesce to '' BEFORE the join (concat_ws would
+    silently SKIP a null operand — 'user: ' would collapse to 'user' —
+    while engines that propagate NULL through || would drop the whole
+    line; pinning '' keeps every turn present and oracle-portable).
     """
-    line = F.concat_ws(": ", F.col(role_col), F.col(text_col))
+    line = F.concat(
+        F.coalesce(F.col(role_col), F.lit("")),
+        F.lit(": "),
+        F.coalesce(F.col(text_col), F.lit("")),
+    )
     return (
         df.groupBy(conv_col)
         .agg(

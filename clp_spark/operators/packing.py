@@ -24,6 +24,10 @@ from pyspark.sql import functions as F
 
 __all__ = ["pack_sequences", "packing_stats"]
 
+# default docs-per-shard for the data-derived shard count: one task holds
+# ~16 bytes/doc -> ~32 MB at 2M, well inside executor memory
+_DOCS_PER_SHARD = 2_000_000
+
 
 def pack_sequences(
     df: DataFrame,
@@ -44,14 +48,18 @@ def pack_sequences(
     * bin_id: globally unique "shard-k" string; offset: the doc's position
       within its bin (0-based), deterministic.
 
-    Deterministic end to end: sharding is hash(id), each shard sorts by
-    (n_tokens desc, id) before best-fit-decreasing, and best-fit breaks
-    capacity ties by lowest bin index.
+    Deterministic end to end — and independent of cluster width: sharding
+    is hash(id) into a shard count derived from the DATA (one cheap count
+    scan, ceil(n_docs / 2M) shards) unless `n_shards` pins it, each shard
+    sorts by (n_tokens desc, id) before best-fit-decreasing, and best-fit
+    breaks capacity ties by lowest bin index (the capacity list is kept
+    sorted by (capacity, bin_index)). The same input therefore yields the
+    same bin ids at local[2] and on a 1000-executor cluster.
 
     Memory: a task holds ONE shard's (id, n_tokens) pairs (~16 bytes/doc
-    plus pandas overhead) — size `n_shards` so docs-per-shard stays in the
-    low millions (e.g. n_shards = n_docs // 2_000_000 at the extreme
-    scale); the default (defaultParallelism) fits the test/bench regimes.
+    plus pandas overhead) — the 2M-docs-per-shard default keeps that at
+    tens of MB; pass `n_shards` to trade shard balance against the count
+    scan or to reproduce a historical layout.
     """
     import bisect
 
@@ -65,8 +73,12 @@ def pack_sequences(
     src = df.select(
         F.col(id_col).alias("id"), F.size(toks).alias("n_tokens")
     )
-    shards = n_shards or df.sparkSession.sparkContext.defaultParallelism
-    src = src.repartition(shards, F.col("id"))
+    if n_shards is None:
+        # reproducibility-first default: derive the shard count from the
+        # row count, NOT defaultParallelism, so bin assignments don't vary
+        # with the runner's width (ADVICE/VERDICT r4 item 6)
+        n_shards = max(1, -(-df.count() // _DOCS_PER_SHARD))
+    src = src.repartition(n_shards, F.col("id"))
 
     id_field = src.schema["id"]
     out_schema = T.StructType(
@@ -92,8 +104,11 @@ def pack_sequences(
         pdf = pdf.sort_values(
             ["n_tokens", "id"], ascending=[False, True], ignore_index=True
         )
-        caps: list[int] = []  # sorted remaining capacities of open bins
-        cap_bin: list[int] = []  # bin index aligned with caps
+        # sorted (remaining capacity, bin index) pairs: bisect on
+        # (nt, -1) lands on the smallest fitting capacity, and within an
+        # equal-capacity run on the LOWEST bin index (the documented
+        # tie-break)
+        caps: list[tuple[int, int]] = []
         n_bins = 0
         fill: dict[int, int] = {}  # bin -> docs placed (next offset)
         out_bin = [0] * len(pdf)
@@ -107,11 +122,10 @@ def pack_sequences(
                 fill[b] = 1
                 out_bin[i], out_off[i], out_trunc[i] = b, 0, nt > max_tokens
                 continue
-            j = bisect.bisect_left(caps, nt)
+            j = bisect.bisect_left(caps, (nt, -1))
             if j < len(caps):
-                b = cap_bin[j]
-                rem = caps[j] - nt
-                del caps[j], cap_bin[j]
+                rem, b = caps[j][0] - nt, caps[j][1]
+                del caps[j]
             else:
                 b = n_bins
                 n_bins += 1
@@ -120,9 +134,7 @@ def pack_sequences(
             out_bin[i] = b
             out_off[i] = fill[b]
             fill[b] += 1
-            k = bisect.bisect_left(caps, rem)
-            caps.insert(k, rem)
-            cap_bin.insert(k, b)
+            bisect.insort(caps, (rem, b))
         yield pd.DataFrame(
             {
                 "id": pdf["id"],

@@ -40,6 +40,16 @@ def quantize_embeddings(
         for pdf in batches:
             if not len(pdf):
                 continue
+            # ragged rows make the stack below throw numpy's opaque
+            # "inhomogeneous shape" and zero-length vectors reduce over an
+            # empty axis — check first and fail loud instead
+            lens = {0 if v is None else len(v) for v in pdf[vec_col]}
+            if len(lens) != 1 or 0 in lens:
+                raise ValueError(
+                    f"quantize_embeddings: column {vec_col!r} must hold "
+                    "fixed-dimension non-empty vectors (got ragged or "
+                    "zero-length input)"
+                )
             x = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )

@@ -36,6 +36,17 @@ def test_flatten_conversations_ordered_doc(spark):
     assert out["c2"]["doc"] == "user: solo"
 
 
+def test_flatten_null_role_text_coalesce(spark):
+    """NULL role/text render as '' on both sides of the ': ' join — the
+    turn stays present instead of collapsing (concat_ws skip) or dropping
+    the row (|| NULL propagation in a SQL oracle)."""
+    rows = [("c1", 0, None, "hello"), ("c1", 1, "assistant", None)]
+    d = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    out = {r["conv_id"]: r for r in CTX.flatten_conversations(d).collect()}
+    assert out["c1"]["n_turns"] == 2
+    assert out["c1"]["doc"] == ": hello\nassistant: "
+
+
 def test_flatten_order_independent_of_input_order(spark):
     d = _conv(spark).orderBy("text").repartition(7)
     out = {r["conv_id"]: r["doc"] for r in CTX.flatten_conversations(d).collect()}

@@ -61,6 +61,30 @@ def test_pack_deterministic(spark):
     assert a == b
 
 
+def test_pack_default_shards_data_derived(spark):
+    """The n_shards default derives from the ROW COUNT (ceil(n/2M)), not
+    defaultParallelism, so bin ids reproduce across cluster widths; at test
+    scale the default must equal an explicit n_shards=1."""
+    d = _docs(spark)
+    dflt = sorted(map(tuple, PK.pack_sequences(d, MAX_TOKENS).collect()))
+    one = sorted(map(tuple, PK.pack_sequences(d, MAX_TOKENS, n_shards=1).collect()))
+    assert dflt == one
+    assert all(r[3].startswith("0-") for r in dflt)  # single shard prefix
+
+
+def test_pack_bestfit_tiebreak_lowest_bin(spark):
+    """Capacity ties select the LOWEST bin index (the documented BFD
+    tie-break): two equal-capacity bins opened in order 0,1 — the next
+    fitting doc must land in bin 0."""
+    rows = [(1, "a " * 40), (2, "b " * 40), (3, "c " * 20)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    p = {r["id"]: r for r in PK.pack_sequences(d, 64, n_shards=1).collect()}
+    # docs 1 and 2 (40 tokens) open bins 0-0 and 0-1, each with 24 left;
+    # doc 3 (20 tokens) fits both -> tie-break says bin 0-0
+    assert p[1]["bin_id"] != p[2]["bin_id"]
+    assert p[3]["bin_id"] == p[1]["bin_id"] == "0-0"
+
+
 def test_packing_stats_efficiency(spark):
     p = _packed(spark)
     st = PK.packing_stats(p, MAX_TOKENS).collect()[0]

@@ -34,6 +34,24 @@ def test_quantize_zero_vector(spark):
     assert r["embedding_deq"] == [0.0, 0.0, 0.0]
 
 
+def test_quantize_ragged_and_empty_fail_loud(spark):
+    """Ragged or zero-length vectors raise a clear ValueError from the
+    executor instead of an opaque numpy/Arrow error."""
+    import pytest
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1)  # same Arrow batch, so the ragged stack is visible
+    with pytest.raises(Exception, match="fixed-dimension non-empty"):
+        QZ.quantize_embeddings(ragged).collect()
+    empty = spark.createDataFrame(
+        [(1, [])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="fixed-dimension non-empty"):
+        QZ.quantize_embeddings(empty).collect()
+
+
 def test_quantized_ann_recall(spark):
     """Top-10 cosine neighbors computed on dequantized int8 vectors overlap
     the exact float top-10 almost entirely (int8 distortion is tiny at
