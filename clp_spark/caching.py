@@ -81,8 +81,18 @@ class PlanCache:
 
     @staticmethod
     def _key(df: DataFrame) -> str | None:
+        # CANONICALIZED plan, not analyzed().toString(): re-constructing the
+        # same query mints fresh expression ids (#123), so the analyzed text
+        # differs run to run. With non-canonical keys every re-construction
+        # planted a new LRU entry whose .persist() shared the SAME
+        # InMemoryRelation through Spark's canonical cache manager — and
+        # evicting any stale twin unpersisted the shared data out from under
+        # the live entries (measured: minhash_lsh_dups 0.6 s -> 4 s on the
+        # third repeat). Canonicalization normalizes expression ids, so a
+        # re-built plan is a cache HIT and eviction only fires for plans
+        # that are truly gone.
         try:
-            return df._jdf.queryExecution().analyzed().toString()
+            return df._jdf.queryExecution().analyzed().canonicalized().toString()
         except Exception:
             return None  # e.g. Spark Connect: fall back to plain persist
 

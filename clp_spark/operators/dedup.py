@@ -16,6 +16,7 @@ Scale notes (100 TB / 10^12 rows):
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from collections.abc import Iterator
 from hashlib import blake2b
 
@@ -28,15 +29,29 @@ from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 # Bucket tables persisted for self-joins, held in a bounded plan-keyed LRU:
 # a repeated pairs call over the same input reuses the cached bucket table
-# (no signature recompute) while a long-lived session holds at most 2
-# cached tables. release_dedup_caches() frees them all.
+# (no signature recompute) while a long-lived session holds a bounded set.
+# The bound must exceed the number of persists ONE query plants before its
+# action runs (minhash_lsh_pairs plants buckets + cand + sh_rows, all lazy:
+# evicting-and-unpersisting any of them pre-action silently recomputes the
+# whole upstream lineage at job time) plus the n-gram path's shingle table.
+# release_dedup_caches() frees them all.
 from ..caching import PlanCache
 
-_PLAN_CACHE = PlanCache(max_items=2)
+_PLAN_CACHE = PlanCache(max_items=6)
+
+# Memo of fully-CONSTRUCTED pair DataFrames keyed by (input plan, params):
+# building minhash_lsh_pairs analyzes ~10 nested plans through py4j
+# (~0.5 s of pure driver time), which dominates a warm re-run. A repeated
+# call with identical input + params returns the same DataFrame object —
+# execution still runs normally (only intermediates are persisted, never
+# the result). Same precedent as similarity.py's plan-keyed centroid cache.
+_PAIRS_MEMO: OrderedDict = OrderedDict()
+_PAIRS_MEMO_MAX = 8
 
 
 def release_dedup_caches() -> None:
     _PLAN_CACHE.clear()
+    _PAIRS_MEMO.clear()
 
 
 def _persist_tracked(df: DataFrame) -> DataFrame:
@@ -309,7 +324,33 @@ def minhash_lsh_pairs(
 
     signature -> band buckets (explode) -> self-join within (band, hash) ->
     distinct candidate pairs -> exact shingle-Jaccard verify >= threshold.
+
+    The verify stage semi-joins the corpus down to the docs that appear in
+    a candidate pair, shingle-hashes THOSE docs once (`_shingle_hash_rows`,
+    the same machinery the exact n-gram path uses), and counts pair
+    intersections over the 8-byte hashes. The previous shape joined each
+    side's TEXT onto every candidate pair, so a hot near-dup cluster of m
+    documents re-materialized its texts m*(m-1)/2 times into the verify
+    stage (VERDICT r4 item 3); now a document's text enters the verify
+    lineage exactly once, its shingles replicate per pair as 16-byte
+    (id, hash) rows, and the jaccard arithmetic is plain codegen'd
+    aggregation. Verify cost stays proportional to the CANDIDATE set, not
+    the corpus (the candidate-id semi-join broadcasts under AQE when
+    small, hash-joins otherwise). Pairs sharing ZERO shingles drop out of
+    the intersection join — indistinguishable from jaccard 0, so
+    `threshold` must be > 0 (a zero-overlap pair is never a
+    near-duplicate).
     """
+    if threshold <= 0:
+        raise ValueError("minhash_lsh_pairs: threshold must be > 0")
+    memo_key = (
+        PlanCache._key(df), num_hashes, bands, k, threshold, text_col, id_col,
+    )
+    if memo_key[0] is not None:
+        hit = _PAIRS_MEMO.get(memo_key)
+        if hit is not None:
+            _PAIRS_MEMO.move_to_end(memo_key)
+            return hit
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, num_hashes, k, text_col, id_col)
     # persist (tracked): the self-join consumes the bucket table twice;
@@ -337,75 +378,46 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # exact verify on the candidate set only
-    docs = df.select(F.col(id_col).alias("vid"), F.col(text_col).alias("vtext"))
-    verified = (
-        cand.join(docs.withColumnRenamed("vid", "id_a").withColumnRenamed("vtext", "text_a"), "id_a")
-        .join(docs.withColumnRenamed("vid", "id_b").withColumnRenamed("vtext", "text_b"), "id_b")
+    # persisted: ids + the intersection join both consume the pair set
+    cand = _persist_tracked(cand)
+    ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
     )
-    jac_schema = StructType(
-        [
-            StructField("id_a", LongType()),
-            StructField("id_b", LongType()),
-            StructField("jaccard_x10000", LongType()),
-        ]
+    # exact verify on the candidate set only: one shingle pass over the
+    # candidate DOCS (persisted: sizes + both intersection sides consume
+    # it); empty texts are excluded so shingle_set("") == {} semantics
+    # hold — the short-doc fallback shingle in _shingle_hash_rows would
+    # otherwise give an empty doc a one-element set
+    cand_docs = (
+        df.select(id_col, text_col)
+        .join(ids, id_col)
+        .filter(F.length(F.coalesce(F.col(text_col), F.lit(""))) > 0)
     )
-
-    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # Batch-vectorized exact Jaccard over shingle HASH sets (full-width
-        # uint64 — set equality to string shingle sets up to 2^-64
-        # collisions): one factorize+rolling-hash pass over all texts in the
-        # batch, then union/intersection counts per pair via one lexsort +
-        # run-length dedup. No per-row Python, no shingle strings.
-        empty = pd.DataFrame(
-            {"id_a": [], "id_b": [], "jaccard_x10000": []}
-        ).astype({"id_a": "int64", "id_b": "int64", "jaccard_x10000": "int64"})
-        for pdf in batches:
-            npairs = len(pdf)
-            if not npairs:
-                yield empty
-                continue
-            texts = [(t or "") for t in pdf["text_a"]] + [
-                (t or "") for t in pdf["text_b"]
-            ]
-            hv, scnt = _shingle_hash_stream(texts, k)
-            # shingle_set("") == set(): drop the single hash("") shingle
-            # empty texts produce in the stream
-            is_empty = np.fromiter((t == "" for t in texts), bool, count=len(texts))
-            if is_empty.any():
-                hv = hv[np.repeat(~is_empty, scnt)]
-                scnt = np.where(is_empty, 0, scnt)
-            # doc i in [0, npairs) is pair i's side a; i + npairs its side b
-            pair_of = np.repeat(np.tile(np.arange(npairs, dtype=np.int64), 2), scnt)
-            side_of = np.repeat(
-                np.repeat(np.array([0, 1], dtype=np.int64), npairs), scnt
-            )
-            # dedupe (pair, side, hash): per-side shingle multiset -> set
-            order = np.lexsort((hv, side_of, pair_of))
-            p, s, h = pair_of[order], side_of[order], hv[order]
-            keep = np.ones(len(p), dtype=bool)
-            keep[1:] = (p[1:] != p[:-1]) | (s[1:] != s[:-1]) | (h[1:] != h[:-1])
-            p, s, h = p[keep], s[keep], h[keep]
-            # regroup by (pair, hash): a hash on both sides = 2 rows
-            order = np.lexsort((h, p))
-            p, h = p[order], h[order]
-            first = np.ones(len(p), dtype=bool)
-            first[1:] = (p[1:] != p[:-1]) | (h[1:] != h[:-1])
-            union = np.bincount(p[first], minlength=npairs)
-            inter = np.bincount(p[~first], minlength=npairs)
-            jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
-            yield pd.DataFrame(
-                {
-                    "id_a": pdf["id_a"].to_numpy(),
-                    "id_b": pdf["id_b"].to_numpy(),
-                    "jaccard_x10000": np.rint(jac * 10000).astype(np.int64),
-                }
-            )
-
-    return (
-        verified.mapInPandas(verify, schema=jac_schema)
+    sh_rows = _persist_tracked(_shingle_hash_rows(cand_docs, k, text_col, id_col))
+    sizes = sh_rows.groupBy("id").agg(F.count("*").alias("sz"))
+    inter = (
+        cand.join(sh_rows.select(F.col("id").alias("id_a"), "sh"), "id_a")
+        .join(sh_rows.select(F.col("id").alias("id_b"), "sh"), ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.round(
+        F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4
+    )
+    out = (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn("jaccard_x10000", F.round(jac * 10000).cast("long"))
         .filter(F.col("jaccard_x10000") >= int(threshold * 10000))
+        .select("id_a", "id_b", "jaccard_x10000")
     )
+    if memo_key[0] is not None:
+        while len(_PAIRS_MEMO) >= _PAIRS_MEMO_MAX:
+            _PAIRS_MEMO.popitem(last=False)
+        _PAIRS_MEMO[memo_key] = out
+    return out
 
 
 def simhash_sketches(
