@@ -293,3 +293,35 @@ def test_codec_knob_applies_to_all_sinks(spark, tmp_path):
         assert codecs == {"GZIP"}, (sink, codecs)
     n = spark.read.parquet(os.path.join(out, "messages")).count()
     assert n == load_transcripts(spark, SF_DIR).count()
+
+
+def test_codec_matrix_roundtrip_and_ratio_ordering(spark, tmp_path):
+    """Every supported codec produces a byte-exact decode round-trip
+    (sf0.001 — cheap), and at sf0.01 (where page payloads dominate the
+    parquet footer/dictionary fixed costs that drown the codec signal at
+    sf0.001) the manifest compression ratios order the way the codecs
+    promise: every real codec beats uncompressed, and the high-ratio tier
+    (zstd default / gzip, the slot the reference's lzma occupies —
+    parquet-mr has no lzma) beats snappy."""
+    t_small = load_transcripts(spark, SF_DIR)
+    texts = t_small.select("conv_id", "turn_idx", "text")
+    for codec in ("zstd", "gzip", "snappy", "uncompressed"):
+        out = str(tmp_path / f"rt_{codec}")
+        I.ingest(spark, t_small, out, dim_role=dim_role(spark),
+                 dim_tool=dim_tool(spark), codec=codec)
+        dec = I.decode_archive(spark, out).withColumnRenamed("text", "dec_text")
+        joined = dec.join(texts, ["conv_id", "turn_idx"])
+        assert joined.count() == t_small.count(), codec
+        assert joined.filter("dec_text != text").count() == 0, codec
+
+    t_big = load_transcripts(spark, "/root/testdata/sf0.01")
+    ratios = {}
+    for codec in ("zstd", "gzip", "snappy", "uncompressed"):
+        m = I.ingest(spark, t_big, str(tmp_path / f"ratio_{codec}"),
+                     dim_role=dim_role(spark), dim_tool=dim_tool(spark),
+                     codec=codec)
+        ratios[codec] = m["metrics"]["compression_ratio"]
+    assert ratios["uncompressed"] < min(
+        ratios["zstd"], ratios["gzip"], ratios["snappy"]
+    ), ratios
+    assert ratios["snappy"] < max(ratios["zstd"], ratios["gzip"]), ratios
