@@ -33,7 +33,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        # Arrow everywhere: pandas UDFs move batches, not rows
+        # Arrow everywhere: pandas UDFs move batches, not rows. 20000 is a
+        # measured compromise: 65536-row batches are ~8% faster on the
+        # decode bridge (fewer batch flushes) but regress the staged search
+        # path ~40% (one giant batch per partition kills UDF-stage
+        # pipelining); see BASELINE.md round 5.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         # scan parallelism: default 128 MiB splits are right for 100 TB;
