@@ -59,6 +59,18 @@ _IS_DOT[ord(".")] = True
 _IS_MINUS = np.zeros(256, dtype=bool)
 _IS_MINUS[ord("-")] = True
 
+# All four per-token class counts (alpha/hex/dot/minus) packed into 16-bit
+# lanes of ONE int64 LUT: a single gather + reduceat replaces four int32
+# passes (the encoder is bandwidth-bound — this halves the class-count
+# memory traffic). Lanes can only overflow if a single token is >= 2^16
+# bytes; _analyze falls back to the four-pass path for such batches.
+_PACKED_CLS = (
+    _IS_ALPHA.astype(np.int64)
+    | (_IS_HEX.astype(np.int64) << 16)
+    | (_IS_DOT.astype(np.int64) << 32)
+    | (_IS_MINUS.astype(np.int64) << 48)
+)
+
 _POW10 = np.power(np.int64(10), np.arange(19, dtype=np.int64))
 
 # Rows containing these bytes take the scalar path (constant-text escaping).
@@ -80,8 +92,10 @@ def _ranges(counts: np.ndarray) -> np.ndarray:
 
 
 def _prefix(cls: np.ndarray, buf: np.ndarray) -> np.ndarray:
-    """Exclusive prefix sums of class membership: out[i] = #matches in buf[:i]."""
-    out = np.zeros(len(buf) + 1, dtype=np.int64)
+    """Exclusive prefix sums of class membership: out[i] = #matches in buf[:i].
+    int32: a batch buffer is far below 2^31 bytes, and halving the cumsum +
+    gather traffic matters in this bandwidth-bound encoder."""
+    out = np.zeros(len(buf) + 1, dtype=np.int32)
     np.cumsum(cls[buf], out=out[1:])
     return out
 
@@ -252,14 +266,22 @@ def _analyze(joined: bytes, buf: np.ndarray, row_start: np.ndarray, n: int) -> _
         a.empty = True
         return a
     mask = _IS_TOKEN[buf]
-    prev = np.empty(nb, dtype=bool)
-    prev[0] = False
-    prev[1:] = mask[:-1]
-    nxt = np.empty(nb, dtype=bool)
-    nxt[-1] = False
-    nxt[:-1] = mask[1:]
-    tok_s = np.flatnonzero(mask & ~prev)
-    tok_e = np.flatnonzero(mask & ~nxt) + 1
+    # token spans as mask TRANSITIONS: one xor pass + one flatnonzero
+    # instead of two shifted-mask temporaries and two flatnonzeros
+    # (bandwidth-bound — this touches the full buffer one time, not four).
+    # Transitions alternate start/end; a True first byte opens a span at 0,
+    # a True last byte closes one at nb.
+    ch = np.flatnonzero(mask[1:] != mask[:-1]) + 1
+    first = bool(mask[0])
+    last = bool(mask[-1])
+    bnd = np.empty(len(ch) + first + last, dtype=np.int64)
+    if first:
+        bnd[0] = 0
+    bnd[int(first) : int(first) + len(ch)] = ch
+    if last:
+        bnd[-1] = nb
+    tok_s = bnd[0::2]
+    tok_e = bnd[1::2]
 
     if len(tok_s) == 0:
         a.empty = True
@@ -275,19 +297,30 @@ def _analyze(joined: bytes, buf: np.ndarray, row_start: np.ndarray, n: int) -> _
     tlen = tok_e - tok_s
     ndig = cdig[tok_e] - cdig[tok_s]
 
-    bounds = np.empty(2 * len(tok_s), dtype=np.int64)
-    bounds[0::2] = tok_s
-    bounds[1::2] = tok_e
-    scratch = np.zeros(nb + 1, dtype=np.int32)
+    bounds = bnd  # already the interleaved (start, end) sequence
+    tlen_max = int(tlen.max()) if len(tlen) else 0
+    if tlen_max < (1 << 16):
+        # one gather + one reduceat for all four class counts (packed
+        # 16-bit lanes; safe — no token long enough to overflow a lane)
+        scratch64 = np.zeros(nb + 1, dtype=np.int64)
+        scratch64[:nb] = _PACKED_CLS[buf]
+        packed = np.add.reduceat(scratch64, bounds)[0::2]
+        lane = np.int64(0xFFFF)
+        nalp = packed & lane
+        nhex = (packed >> np.int64(16)) & lane
+        ndot = (packed >> np.int64(32)) & lane
+        nmin = (packed >> np.int64(48)) & lane
+    else:
+        scratch = np.zeros(nb + 1, dtype=np.int32)
 
-    def seg_count(cls: np.ndarray) -> np.ndarray:
-        scratch[:nb] = cls[buf]
-        return np.add.reduceat(scratch, bounds)[0::2]
+        def seg_count(cls: np.ndarray) -> np.ndarray:
+            scratch[:nb] = cls[buf]
+            return np.add.reduceat(scratch, bounds)[0::2]
 
-    nalp = seg_count(_IS_ALPHA)
-    nhex = seg_count(_IS_HEX)
-    ndot = seg_count(_IS_DOT)
-    nmin = seg_count(_IS_MINUS)
+        nalp = seg_count(_IS_ALPHA)
+        nhex = seg_count(_IS_HEX)
+        ndot = seg_count(_IS_DOT)
+        nmin = seg_count(_IS_MINUS)
 
     prev_eq = np.zeros(len(tok_s), dtype=bool)
     nz = tok_s > 0
