@@ -339,7 +339,12 @@ def _analyze(joined: bytes, buf: np.ndarray, row_start: np.ndarray, n: int) -> _
     lead_zero = buf[fd_pos] == ord("0")
     int_form &= ~(lead_zero & ((tlen - negl) > 1))
     int_form &= ~(neg & lead_zero)
-    big_int = int_form & (ndig > 18)  # may overflow int64 -> slow check
+    # 19 digits is the only ambiguous width (int64 max = 9223372036854775807
+    # = 19 digits): below always fits, above never does — and >4300 digits
+    # would even trip CPython's int() conversion limit, so the exact check
+    # must never see those tokens.
+    big_int = int_form & (ndig == 19)  # may overflow int64 -> slow check
+    int_form &= ndig <= 19
     int_vec = int_form & ~big_int
 
     # float form (reference :63-142): optional '-', exactly one '.', 1..16

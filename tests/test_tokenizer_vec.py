@@ -130,6 +130,28 @@ def test_equivalence_numeric_soup(texts):
     assert_frames_equal(texts)
 
 
+def test_giant_token_four_pass_fallback():
+    """A single token >= 2^16 bytes overflows the packed 16-bit class-count
+    lanes, so _analyze must take the four-pass fallback. Pin that path
+    against the scalar oracle (class counts drive int/float/dict typing)."""
+    giant_dict = "a1" * 35_000  # 70,000 B, alpha+digit -> dictionary var
+    giant_hex = "abcdef0123456789" * 4_100  # 65,600 B, hex-only token
+    giant_digits = "9" * 65_600  # > 19 digits: integer overflow -> dict var
+    giant_float = "1" * 65_600 + ".5"  # > 16 sig digits -> dict var
+    texts = [
+        f"job {giant_dict} took 42 ms",
+        f"digest {giant_hex} ok",
+        f"n={giant_digits} f {giant_float}",
+        "plain small row 7",
+    ]
+    assert_frames_equal(texts)
+    # and the encodings still round-trip byte-exactly
+    s = pd.Series(texts, dtype=object)
+    enc = encode_batch(s)
+    for text, lt, dv, en in zip(s, enc["logtype"], enc["dict_vars"], enc["encoded_nums"]):
+        assert decode_text(lt, dv, en) == text
+
+
 def test_render_batch_equals_decode_text():
     from clp_spark.functions.tokenizer import (
         decode_text,
