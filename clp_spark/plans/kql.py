@@ -421,6 +421,26 @@ def _array_filter(col: Column, value: str, quoted: bool) -> Column:
     return F.array_contains(col.cast("array<string>"), value)
 
 
+_INT64_MIN, _INT64_MAX = -(2**63), 2**63 - 1
+
+
+def _num_lit(value: str) -> Column:
+    """Numeric query literal -> Spark literal. Integer literals that cannot
+    fit int64 fall back to a double literal (the reference's NarrowTypes
+    drops a failed int conversion to float, clp_s/search/NarrowTypes.cpp);
+    a bare F.lit(big python int) would raise NumberFormatException in py4j,
+    and CPython refuses int() past 4300 digits outright."""
+    if "." in value or "e" in value.lower():
+        return F.lit(float(value))
+    try:
+        v = int(value)
+    except ValueError:  # absurd digit count: CPython conversion limit
+        return F.lit(float(value))
+    if v < _INT64_MIN or v > _INT64_MAX:
+        return F.lit(float(v))
+    return F.lit(v)
+
+
 def _parse_date_ms(s: str) -> int:
     from ..functions.timestamps import search_timestamp_batch
     import pandas as pd
@@ -473,9 +493,7 @@ def _one_path_filter(df, path, op, value, quoted) -> Column:
             return ~base if neg else base
         if _NUM_RE.match(value):
             if dt in _NUMERIC_DTS or dt.startswith("decimal"):
-                lit = F.lit(
-                    float(value) if ("." in value or "e" in value.lower()) else int(value)
-                )
+                lit = _num_lit(value)
                 if quoted:
                     # NarrowTypes: a QUOTED literal is string-typed only; a
                     # numeric column has no string interpretation -> False for
@@ -494,7 +512,7 @@ def _one_path_filter(df, path, op, value, quoted) -> Column:
             return F.lit(False)
         if not (dt in _NUMERIC_DTS or dt.startswith("decimal")):
             return F.lit(False)
-        lit = F.lit(float(value) if ("." in value or "e" in value.lower()) else int(value))
+        lit = _num_lit(value)
         return {">": col > lit, ">=": col >= lit, "<": col < lit, "<=": col <= lit}[op]
     raise KqlError(f"unsupported op {op!r}")
 

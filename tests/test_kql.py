@@ -239,3 +239,21 @@ def test_sql_grammar_stub_parity():
     assert parse_sql_expression("") == ("none",)
     assert parse_sql_expression("   ") == ("none",)
     assert parse_sql_expression("SELECT * FROM t") is None
+
+
+def test_oversized_int_literal_falls_back_to_double(spark):
+    """An integer literal that cannot fit int64 must not crash the planner
+    (F.lit(big python int) raises NumberFormatException in py4j; CPython
+    refuses int() past 4300 digits). NarrowTypes semantics: the failed int
+    conversion drops to float (double literal), so comparisons stay
+    meaningful — nothing int64-valued equals 1e20, everything is < 1e20."""
+    from clp_spark.plans.kql import kql_filter
+
+    df = spark.createDataFrame([(1, 5), (2, 18)], "id long, size long")
+    assert kql_filter(df, "size: 99999999999999999999").count() == 0
+    assert kql_filter(df, "size > 18446744073709551616").count() == 0
+    assert kql_filter(df, "size < 99999999999999999999").count() == 2
+    assert kql_filter(df, "size < " + "9" * 5000).count() == 2  # double inf
+    # in-range literals still compare as exact int64
+    assert kql_filter(df, "size: 18").count() == 1
+    assert kql_filter(df, "size >= 9223372036854775807").count() == 0
