@@ -337,28 +337,37 @@ def _run_scaling_paired(deadline: float, ratio: float, quiesce: dict) -> dict | 
         ):
             print("trial servers failed to start", file=sys.stderr)
             return None
+        counters = {lo_dir: 0, hi_dir: 0}
+
+        def run_one(d, p):
+            i = counters[d]
+            counters[d] += 1
+            open(os.path.join(d, f"RUN_{i}"), "w").close()
+            if not _wait_file(os.path.join(d, f"RESULT_{i}.json"), 600, p):
+                return None
+            with open(os.path.join(d, f"RESULT_{i}.json")) as f:
+                return json.load(f)
+
         k = 0
         while k < cycles and time.monotonic() < deadline:
-            # alternate in-cycle order so residual drift WITHIN a cycle
-            # (lo trials run ~3x longer than hi) cancels across cycles
-            order = [(lo_dir, p_lo), (hi_dir, p_hi)]
-            if k % 2:
-                order.reverse()
-            res = {}
-            ok = True
-            for d, p in order:
-                open(os.path.join(d, f"RUN_{k}"), "w").close()
-                if not _wait_file(os.path.join(d, f"RESULT_{k}.json"), 600, p):
-                    ok = False
-                    break
-                with open(os.path.join(d, f"RESULT_{k}.json")) as f:
-                    res[d] = json.load(f)
-            if not ok:
+            # A-B-A SANDWICH per cycle: hi, lo, hi — the lo trial's temporal
+            # center coincides with the midpoint of the two hi-trial centers
+            # (trial durations are constant), so FIRST-ORDER weather drift
+            # within the cycle cancels out of mean(hi)/lo exactly. A plain
+            # hi/lo pair inherits any drift across the ~100 s between the
+            # two trials; the hi trial is ~4x cheaper than lo, so the extra
+            # bread slice costs ~20 s per cycle.
+            hi1 = run_one(hi_dir, p_hi)
+            lo = run_one(lo_dir, p_lo)
+            hi2 = run_one(hi_dir, p_hi)
+            if hi1 is None or lo is None or hi2 is None:
                 break
-            lo, hi = res[lo_dir], res[hi_dir]
+            hi_tp = (hi1["turns_per_sec"] + hi2["turns_per_sec"]) / 2
+            hi_best = hi1 if hi1["turns_per_sec"] >= hi2["turns_per_sec"] else hi2
             pairs.append({
-                "lo": lo, "hi": hi,
-                "eff": (hi["turns_per_sec"] / lo["turns_per_sec"]) / ratio,
+                "lo": lo, "hi": hi_best,
+                "hi1_tp": hi1["turns_per_sec"], "hi2_tp": hi2["turns_per_sec"],
+                "eff": (hi_tp / lo["turns_per_sec"]) / ratio,
             })
             k += 1
     finally:
@@ -372,13 +381,16 @@ def _run_scaling_paired(deadline: float, ratio: float, quiesce: dict) -> dict | 
         _sh.rmtree(base, ignore_errors=True)
     if len(pairs) < 3:
         return None
-    # PRIMARY estimator: median of per-cycle ratios. Each cycle's lo and hi
-    # trials run within one ~2-minute window on a resident JVM, so window
-    # weather divides out of the ratio; the median over >=8 cycles absorbs
-    # the occasional cycle where weather shifted mid-cycle. (The r4 fresh-
-    # subprocess design needed a per-side-best estimator because its sides
-    # sampled different windows; with paired trials that correction is no
-    # longer doing the work and the plain median is the defensible number.)
+    # PRIMARY estimator: median of per-cycle SANDWICH ratios. Each cycle's
+    # hi-lo-hi trials run within one ~2-minute window on resident JVMs, so
+    # window weather divides out of mean(hi)/lo — and because the lo trial
+    # sits exactly between the two hi trials, linear drift within the cycle
+    # cancels to first order (a plain hi/lo pair inherits it). The median
+    # over >=8 cycles absorbs the occasional cycle where weather JUMPED
+    # mid-cycle. (The r4 fresh-subprocess design needed a per-side-best
+    # estimator because its sides sampled different windows; with paired
+    # trials that correction is no longer doing the work and the plain
+    # median is the defensible number.)
     effs = sorted(p["eff"] for p in pairs)
     eff = effs[len(effs) // 2] if len(effs) % 2 else (
         (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2
@@ -390,11 +402,17 @@ def _run_scaling_paired(deadline: float, ratio: float, quiesce: dict) -> dict | 
         "cpus_hi": SCALE_HI, "tp_hi": best_hi["turns_per_sec"], "sec_hi": best_hi["sec"],
         "turns": best_lo["turns"],
         "pair_efficiencies": [round(p["eff"], 3) for p in pairs],
+        "cycle_detail": [
+            {"lo_tp": p["lo"]["turns_per_sec"],
+             "hi1_tp": p["hi1_tp"], "hi2_tp": p["hi2_tp"]}
+            for p in pairs
+        ],
         "efficiency": round(eff, 3),
         "efficiency_best_sides": round(
             (best_hi["turns_per_sec"] / best_lo["turns_per_sec"]) / ratio, 3
         ),
         "paired_resident_jvms": True,
+        "sandwich_cycles": True,
         "quiesce": quiesce,
     }
 
@@ -690,9 +708,11 @@ def run_scaling() -> dict | None:
        ingest-from-a-table shape); constant split layout across widths.
     3. PAIRED RESIDENT-JVM TRIALS (primary, _run_scaling_paired): one
        pinned local[N] JVM per side on DISJOINT core sets, both warmed
-       once, then single timed trials alternate lo/hi so each ratio is
-       computed within one ~2-minute weather window; efficiency = median
-       of per-cycle ratios. This is the design that survives this host's
+       once, then each cycle runs an A-B-A SANDWICH (hi, lo, hi) so the
+       ratio mean(hi)/lo is computed within one ~2-minute weather window
+       AND first-order drift inside the window cancels (the lo trial is
+       time-centered between the two hi trials); efficiency = median of
+       per-cycle ratios. This is the design that survives this host's
        +-25% minute-scale drift — fresh-subprocess pairs (the r3/r4
        design) take ~4.5 min per lo probe, so the two sides of a pair
        inevitably sample different windows and the ratio inherits the
