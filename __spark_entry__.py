@@ -566,6 +566,15 @@ def q_langid(spark, sf_dir):
     return TM.language_id(d)
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filters (top-n-gram and duplicated-n-gram
+    character fractions), computed shuffle-free per document with JVM
+    higher-order expressions; the DuckDB oracle recomputes them the explode
+    + groupBy way, so the two plans cross-check each other."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return TM.repetition_stats(d, n=2)
+
+
 def q_ngram_jaccard_dups(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return DD.ngram_jaccard_pairs(d, threshold=JACCARD_THRESHOLD, k=JACCARD_K)
@@ -1419,6 +1428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_windows": q_context_windows,
         "flatten_conversations": q_flatten_conversations,
         "events_by_type": q_events_by_type,
+        "repetition_stats": q_repetition_stats,
     }
 
 
@@ -1798,6 +1808,46 @@ def oracle_sql() -> dict[str, str]:
         "events_by_type": (
             "SELECT event_type, count(*) AS cnt, round(avg(value), 3) AS avg_value "
             "FROM events GROUP BY 1"
+        ),
+        # repetition metrics recomputed the explode + groupBy way (the Spark
+        # side is a shuffle-free sorted-run scan — independent plans)
+        "repetition_stats": (
+            "WITH toks AS ("
+            "  SELECT doc_id, text,"
+            "         list_filter(string_split(text, ' '), x -> x <> '') AS w"
+            "  FROM documents"
+            "), grams AS ("
+            "  SELECT doc_id, text,"
+            "    CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)),"
+            "      i -> array_to_string(list_slice(w, i, i + 1), ' '))"
+            "    ELSE [] END AS g"
+            "  FROM toks"
+            "), occ AS (SELECT doc_id, unnest(g) AS gram FROM grams), "
+            "cnt AS (SELECT doc_id, gram, count(*) AS c, length(gram) AS lg"
+            "        FROM occ GROUP BY 1, 2), "
+            "agg AS ("
+            "  SELECT doc_id, sum(c) AS n_grams, sum(c * lg) AS tot_chars,"
+            "         sum(CASE WHEN c >= 2 THEN c * lg ELSE 0 END) AS dup_chars"
+            "  FROM cnt GROUP BY 1"
+            "), top AS ("
+            "  SELECT doc_id, gram, c FROM ("
+            "    SELECT doc_id, gram, c,"
+            "           row_number() OVER (PARTITION BY doc_id"
+            "                              ORDER BY c DESC, gram ASC) AS rn"
+            "    FROM cnt) WHERE rn = 1"
+            ") "
+            "SELECT d.doc_id,"
+            "  cast(coalesce(a.n_grams, 0) as bigint) AS n_grams,"
+            "  coalesce(t.gram, '') AS top_gram,"
+            "  cast(coalesce(t.c, 0) as bigint) AS top_gram_count,"
+            "  CASE WHEN length(d.text) > 0 AND t.c IS NOT NULL"
+            "       THEN round(t.c * length(t.gram) / length(d.text), 4)"
+            "       ELSE 0.0 END AS top_gram_char_fraction,"
+            "  CASE WHEN coalesce(a.tot_chars, 0) > 0"
+            "       THEN round(a.dup_chars / a.tot_chars, 4)"
+            "       ELSE 0.0 END AS dup_gram_char_fraction "
+            "FROM documents d LEFT JOIN agg a USING (doc_id) "
+            "LEFT JOIN top t USING (doc_id)"
         ),
         # typed media metadata reconstructed independently: payload bytes =
         # octet_length of the UTF-8 encoding, kind = doc_id mod 3 cycle

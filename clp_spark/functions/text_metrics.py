@@ -79,6 +79,93 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:
+    """Gopher-style repetition filters per document (Rae et al. 2021,
+    appendix A1.1): the share of text covered by the single most frequent
+    word n-gram, and the share of n-gram characters sitting inside grams
+    that occur two or more times. High values flag boilerplate / spam pages
+    for removal from a training corpus.
+
+    Shuffle-FREE by design: a per-document metric needs no groupBy — the
+    obvious explode + count plan would shuffle every n-gram occurrence in a
+    100 TB corpus just to re-group rows that already live together. Instead
+    each row sorts its own gram array and scans runs inside JVM higher-order
+    expressions (array_sort + aggregate), so the whole operator is a narrow
+    projection.
+
+    Outputs per doc_id:
+      n_grams                 total n-gram occurrences (0 if < n words)
+      top_gram                most frequent gram; ties -> lexicographically
+                              smallest (the sorted scan's strict-> keeps the
+                              first maximum it meets)
+      top_gram_count          its occurrence count
+      top_gram_char_fraction  top_gram_count * len(top_gram) / len(text)
+      dup_gram_char_fraction  chars in grams occurring >= 2 times / chars in
+                              all gram occurrences (self-normalized so the
+                              metric is length-free)
+    """
+    toks = f"filter(split({text_col}, ' '), x -> x <> '')"
+    # slice() is 1-based; guard < n tokens (sequence(1, 0) would DESCEND)
+    grams = (
+        f"IF(size({toks}) < {n}, array(), "
+        f"transform(sequence(1, size({toks}) - {n} + 1), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n}))))"
+    )
+    d = df.select("doc_id", F.col(text_col).alias("_t"), F.expr(grams).alias("_g"))
+    d = d.withColumn("_s", F.expr("array_sort(_g)"))
+    # ONE pass over the sorted grams (no array indexing — ANSI mode would
+    # throw on any out-of-range subscript): track (prev, current run length,
+    # best run, best gram, chars in finished duplicated runs). Strict > keeps
+    # the FIRST maximal run = the lexicographically smallest gram on ties;
+    # the finish lambda closes out the final run.
+    scan = F.expr(
+        "aggregate(_s, "
+        "named_struct('prev', cast(null as string), 'run', 0, "
+        "             'best', 0, 'bestg', '', 'dup', 0L), "
+        "(a, x) -> named_struct("
+        "  'prev', x, "
+        "  'run', IF(a.prev <=> x, a.run + 1, 1), "
+        "  'best', greatest(IF(a.prev <=> x, a.run + 1, 1), a.best), "
+        "  'bestg', IF(IF(a.prev <=> x, a.run + 1, 1) > a.best, x, a.bestg), "
+        "  'dup', a.dup + IF(NOT(a.prev <=> x) AND a.run >= 2, "
+        "                    cast(a.run as bigint) * length(a.prev), 0L)), "
+        "a -> named_struct("
+        "  'best', a.best, 'bestg', a.bestg, "
+        "  'dup', a.dup + IF(a.run >= 2, cast(a.run as bigint) * length(a.prev), 0L)))"
+    )
+    tot_chars = F.expr("aggregate(_s, 0L, (a, x) -> a + length(x))")
+    # Materialize the scan struct in its own projection: CollapseProject
+    # declines to merge expensive expressions referenced more than once, so
+    # the O(grams) aggregate runs ONCE per row instead of once per output
+    # column.
+    d = d.select(
+        "doc_id",
+        "_t",
+        F.expr("size(_s)").cast("bigint").alias("_m"),
+        scan.alias("_scan"),
+        tot_chars.alias("_tot"),
+    )
+    d = d.select(
+        "doc_id",
+        F.col("_m").alias("n_grams"),
+        F.col("_scan")["bestg"].alias("top_gram"),
+        F.col("_scan")["best"].cast("bigint").alias("top_gram_count"),
+        F.when(
+            F.length("_t") > 0,
+            F.round(
+                F.col("_scan")["best"] * F.length(F.col("_scan")["bestg"]) / F.length("_t"),
+                4,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_gram_char_fraction"),
+        F.when(F.col("_tot") > 0, F.round(F.col("_scan")["dup"] / F.col("_tot"), 4))
+        .otherwise(F.lit(0.0))
+        .alias("dup_gram_char_fraction"),
+    )
+    return d
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", shingle_k: int = 3) -> DataFrame:
     """Document fingerprints: full-content hash + a rolling shingle sketch
     (min xxhash64 over word k-shingles — order-invariant content signature)."""

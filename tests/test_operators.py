@@ -467,3 +467,48 @@ def test_knn_join_probe_subset_recall(spark):
     # 2/8 probes on uniform-random vectors: a weak bound that still proves
     # the probe targets the right clusters rather than random ones
     assert hit / n >= 0.3
+
+
+def test_repetition_stats_known_values(spark):
+    """Hand-computed Gopher repetition metrics, incl. the deterministic
+    tie-break (max count, then lexicographically smallest gram) and the
+    degenerate <n-token / empty documents."""
+    from clp_spark.functions.text_metrics import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b c"),  # grams: 'a b'x3, 'b a'x2, 'b c'x1
+            (2, "p q r p q r"),  # tie: 'p q'x2 vs 'q r'x2 -> 'p q'
+            (3, "hello"),  # one token: zero grams
+            (4, ""),  # empty text
+            (5, "a b c d"),  # all grams unique
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df, n=2).collect()}
+    r1 = rows[1]
+    assert r1["n_grams"] == 6
+    assert r1["top_gram"] == "a b" and r1["top_gram_count"] == 3
+    assert r1["top_gram_char_fraction"] == round(3 * 3 / 13, 4)
+    # dup occurrences: 'a b'x3 + 'b a'x2 = 5 grams x 3 chars = 15 of 18
+    assert r1["dup_gram_char_fraction"] == round(15 / 18, 4)
+    r2 = rows[2]
+    assert r2["top_gram"] == "p q" and r2["top_gram_count"] == 2
+    for i in (3, 4):
+        r = rows[i]
+        assert r["n_grams"] == 0 and r["top_gram"] == "" and r["top_gram_count"] == 0
+        assert r["top_gram_char_fraction"] == 0.0
+        assert r["dup_gram_char_fraction"] == 0.0
+    r5 = rows[5]
+    assert r5["top_gram"] == "a b" and r5["top_gram_count"] == 1
+    assert r5["dup_gram_char_fraction"] == 0.0
+
+
+def test_repetition_stats_shuffle_free_plan(spark):
+    """The operator is a narrow per-row projection: a per-document metric
+    must not shuffle the corpus (the explode+groupBy formulation would)."""
+    from clp_spark.functions.text_metrics import repetition_stats
+
+    df = spark.createDataFrame([(1, "x y x y")], "doc_id long, text string")
+    plan = repetition_stats(df, n=2)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
