@@ -575,6 +575,15 @@ def q_repetition_stats(spark, sf_dir):
     return TM.repetition_stats(d, n=2)
 
 
+def q_lm_quality(spark, sf_dir):
+    """CCNet-style LM quality scoring: bigram LM trained on the corpus
+    itself, each document scored by mean bigram log-probability (and the
+    derived perplexity). The DuckDB oracle recomputes model + scores from
+    the same spec."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return CU.lm_score(d)
+
+
 def q_ngram_jaccard_dups(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return DD.ngram_jaccard_pairs(d, threshold=JACCARD_THRESHOLD, k=JACCARD_K)
@@ -1429,6 +1438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flatten_conversations": q_flatten_conversations,
         "events_by_type": q_events_by_type,
         "repetition_stats": q_repetition_stats,
+        "lm_quality": q_lm_quality,
     }
 
 
@@ -1808,6 +1818,46 @@ def oracle_sql() -> dict[str, str]:
         "events_by_type": (
             "SELECT event_type, count(*) AS cnt, round(avg(value), 3) AS avg_value "
             "FROM events GROUP BY 1"
+        ),
+        # bigram-LM quality scores recomputed from the same spec
+        "lm_quality": (
+            "WITH base AS ("
+            "  SELECT doc_id, list_filter("
+            "    regexp_split_to_array(lower(text), '[^a-z0-9]+'),"
+            "    t -> t <> '') AS w"
+            "  FROM documents"
+            "), bgs AS ("
+            "  SELECT doc_id,"
+            "    CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)),"
+            "      i -> array_to_string(list_slice(w, i, i + 1), ' '))"
+            "    ELSE [] END AS bg"
+            "  FROM base"
+            "), uni AS ("
+            "  SELECT w1, count(*) AS c1"
+            "  FROM (SELECT unnest(w) AS w1 FROM base) GROUP BY 1"
+            "), big AS ("
+            "  SELECT g, count(*) AS c2"
+            "  FROM (SELECT unnest(bg) AS g FROM bgs) GROUP BY 1"
+            "), vocab AS (SELECT count(*) AS v FROM uni), "
+            "hits AS ("
+            "  SELECT doc_id, g, string_split(g, ' ')[1] AS w1"
+            "  FROM (SELECT doc_id, unnest(bg) AS g FROM bgs)"
+            "), scored AS ("
+            "  SELECT h.doc_id,"
+            "    ln((coalesce(b.c2, 0) + 0.1) /"
+            "       (coalesce(u.c1, 0) + 0.1 * v.v)) AS logp"
+            "  FROM hits h LEFT JOIN big b ON h.g = b.g"
+            "  LEFT JOIN uni u ON h.w1 = u.w1 CROSS JOIN vocab v"
+            "), per AS ("
+            "  SELECT doc_id, count(*) AS n_bigrams,"
+            "         round(avg(logp), 4) AS lm_logprob,"
+            "         round(exp(-avg(logp)), 4) AS lm_ppl"
+            "  FROM scored GROUP BY 1"
+            ") "
+            "SELECT d.doc_id,"
+            "  cast(coalesce(p.n_bigrams, 0) as bigint) AS n_bigrams,"
+            "  p.lm_logprob, p.lm_ppl "
+            "FROM documents d LEFT JOIN per p USING (doc_id)"
         ),
         # repetition metrics recomputed the explode + groupBy way (the Spark
         # side is a shuffle-free sorted-run scan — independent plans)

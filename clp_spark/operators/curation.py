@@ -45,6 +45,7 @@ __all__ = [
     "word_ngram_hashes",
     "contamination",
     "bm25_rank",
+    "lm_score",
     "PII_PATTERNS",
     "pii_redact",
     "pii_stats",
@@ -275,6 +276,94 @@ def _tokens(text_col: str):
     n-gram operators oracle-portable."""
     return F.filter(
         F.split(F.lower(F.col(text_col)), TOKEN_SEP_RE), lambda t: t != F.lit("")
+    )
+
+
+def lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 0.1,
+    min_count: int = 1,
+) -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al. 2020):
+    train a bigram LM over the corpus itself, then score every document by
+    its mean bigram log-probability — the standard perplexity filter that
+    ranks fluent text above gibberish/boilerplate before training.
+
+    score(d) = avg over adjacent token pairs (w1, w2) in d of
+        ln( (c(w1 w2) + a) / (c(w1) + a * V) )
+    with add-a smoothing over the V-word corpus vocabulary; bigrams below
+    `min_count` are dropped from the model and fall to the smoothed floor.
+    Output: (doc_id, n_bigrams, lm_logprob, lm_ppl = exp(-lm_logprob));
+    documents with < 2 tokens have no bigrams -> NULL scores (callers
+    usually keep or route those explicitly rather than score them).
+
+    Plan shape (zero UDFs, engine-portable expressions):
+      1. one scan builds per-doc ordered bigram arrays (transform over the
+         token array — order preserved, no shuffle);
+      2. unigram and bigram counts are two map-side-combinable groupBy
+         aggregates — the model-build shuffles carry one row per DISTINCT
+         gram per partition, not per occurrence (Zipf collapses most mass
+         map-side);
+      3. V rides a one-row aggregate that broadcast-cross-joins onto the
+         hits;
+      4. scoring explodes each document's bigrams and joins them to the
+         two count tables, then re-groups by doc. At 100 TB the pruned
+         bigram model (min_count > 1) is millions of rows — AQE picks a
+         broadcast join; above the broadcast ceiling it degrades to a
+         shuffle join on the gram key, which is uniform (no hot key: the
+         gram space is huge and the join key is the gram itself).
+    Scores are rounded to 4 decimals for cross-engine float parity (same
+    discipline as bm25/text_quality)."""
+    base = df.select(F.col(id_col).alias("id"), _tokens(text_col).alias("w"))
+    bg = F.expr(
+        "IF(size(w) < 2, array(), transform(sequence(1, size(w) - 1), "
+        "i -> concat_ws(' ', slice(w, i, 2))))"
+    )
+    base = base.select("id", bg.alias("bg"), F.col("w"))
+    uni = (
+        base.select(F.explode("w").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    big = (
+        base.select(F.explode("bg").alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("c2"))
+        .where(F.col("c2") >= min_count)
+    )
+    vocab = uni.agg(F.count("*").alias("v"))
+    hits = base.select("id", F.explode("bg").alias("g")).withColumn(
+        "w1", F.split(F.col("g"), " ").getItem(0)
+    )
+    a = F.lit(float(smoothing))
+    scored = (
+        hits.join(big, "g", "left")
+        .join(uni, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "logp",
+            F.log(
+                (F.coalesce(F.col("c2"), F.lit(0)) + a)
+                / (F.coalesce(F.col("c1"), F.lit(0)) + a * F.col("v"))
+            ),
+        )
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("logp"), 4).alias("lm_logprob"),
+        F.round(F.exp(-F.avg("logp")), 4).alias("lm_ppl"),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            "lm_logprob",
+            "lm_ppl",
+        )
     )
 
 

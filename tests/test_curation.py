@@ -214,3 +214,43 @@ def test_bm25_monotone_in_term_hits(spark):
     got = {r["id"]: r["bm25"] for r in CU.bm25_rank(d, ["join", "shuffle", "broadcast"], k=10).collect()}
     assert set(got) == {1, 2}
     assert got[1] > got[2] > 0
+
+
+def test_lm_score_hand_computed(spark):
+    """Exact bigram-LM scores on a corpus small enough to compute by hand.
+    Corpus: unigrams a:3 b:3 x:1 (V=3); bigrams 'a b':3, 'b a':1; a=0.1."""
+    import math
+
+    d = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in CU.lm_score(d).collect()}
+    lp_ab = math.log((3 + 0.1) / (3 + 0.1 * 3))
+    lp_ba = math.log((1 + 0.1) / (3 + 0.1 * 3))
+    d1 = (2 * lp_ab + lp_ba) / 3
+    assert rows[1]["n_bigrams"] == 3
+    assert rows[1]["lm_logprob"] == round(d1, 4)
+    assert rows[1]["lm_ppl"] == round(math.exp(-d1), 4)
+    assert rows[2]["n_bigrams"] == 1
+    assert rows[2]["lm_logprob"] == round(lp_ab, 4)
+    # a doc made of the corpus-common bigram outranks the mixed one
+    assert rows[2]["lm_logprob"] > rows[1]["lm_logprob"]
+    # < 2 tokens: no bigrams, explicit NULL scores
+    assert rows[3]["n_bigrams"] == 0
+    assert rows[3]["lm_logprob"] is None and rows[3]["lm_ppl"] is None
+
+
+def test_lm_score_min_count_prunes_model(spark):
+    """Bigrams below min_count drop out of the model and fall to the
+    smoothed floor: ln(a / (c1 + a*V)) instead of ln((c+a)/(c1+a*V))."""
+    import math
+
+    d = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in CU.lm_score(d, min_count=2).collect()}
+    lp_ab = math.log((3 + 0.1) / (3 + 0.1 * 3))
+    lp_ba_floor = math.log(0.1 / (3 + 0.1 * 3))  # 'b a' pruned (count 1)
+    d1 = (2 * lp_ab + lp_ba_floor) / 3
+    assert rows[1]["lm_logprob"] == round(d1, 4)
+    assert rows[2]["lm_logprob"] == round(lp_ab, 4)
