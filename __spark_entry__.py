@@ -584,6 +584,14 @@ def q_lm_quality(spark, sf_dir):
     return CU.lm_score(d)
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights toward the lang='en' target domain: hashed
+    unigram+bigram bag models, per-doc log-likelihood ratio. md5-prefix
+    string buckets keep the whole operator oracle-portable."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return CU.dsir_weights(d, F.col("lang") == "en")
+
+
 def q_ngram_jaccard_dups(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return DD.ngram_jaccard_pairs(d, threshold=JACCARD_THRESHOLD, k=JACCARD_K)
@@ -1439,6 +1447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_by_type": q_events_by_type,
         "repetition_stats": q_repetition_stats,
         "lm_quality": q_lm_quality,
+        "dsir_weights": q_dsir_weights,
     }
 
 
@@ -1818,6 +1827,42 @@ def oracle_sql() -> dict[str, str]:
         "events_by_type": (
             "SELECT event_type, count(*) AS cnt, round(avg(value), 3) AS avg_value "
             "FROM events GROUP BY 1"
+        ),
+        # DSIR weights recomputed from the same spec (md5-prefix buckets are
+        # engine-portable strings, so no second code path)
+        "dsir_weights": (
+            "WITH base AS ("
+            "  SELECT doc_id, (lang = 'en') AS is_t, list_filter("
+            "    regexp_split_to_array(lower(text), '[^a-z0-9]+'),"
+            "    t -> t <> '') AS w"
+            "  FROM documents"
+            "), bgs AS ("
+            "  SELECT doc_id, is_t, list_concat(w,"
+            "    CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)),"
+            "      i -> array_to_string(list_slice(w, i, i + 1), ' '))"
+            "    ELSE [] END) AS grams"
+            "  FROM base"
+            "), feats AS ("
+            "  SELECT doc_id, is_t, substr(md5(g), 1, 3) AS b"
+            "  FROM (SELECT doc_id, is_t, unnest(grams) AS g FROM bgs)"
+            "), counts AS ("
+            "  SELECT b, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,"
+            "         count(*) AS cr"
+            "  FROM feats GROUP BY 1"
+            "), totals AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM counts), "
+            "model AS ("
+            "  SELECT b, ln((ct + 1.0) / (nt + 1.0 * 4096))"
+            "          - ln((cr + 1.0) / (nr + 1.0 * 4096)) AS logr"
+            "  FROM counts CROSS JOIN totals"
+            "), per AS ("
+            "  SELECT doc_id, count(*) AS n_feats,"
+            "         round(sum(logr), 4) AS dsir_logratio"
+            "  FROM feats JOIN model USING (b) GROUP BY 1"
+            ") "
+            "SELECT d.doc_id,"
+            "  cast(coalesce(p.n_feats, 0) as bigint) AS n_feats,"
+            "  p.dsir_logratio "
+            "FROM documents d LEFT JOIN per p USING (doc_id)"
         ),
         # bigram-LM quality scores recomputed from the same spec
         "lm_quality": (

@@ -46,6 +46,7 @@ __all__ = [
     "contamination",
     "bm25_rank",
     "lm_score",
+    "dsir_weights",
     "PII_PATTERNS",
     "pii_redact",
     "pii_stats",
@@ -363,6 +364,91 @@ def lm_score(
             F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
             "lm_logprob",
             "lm_ppl",
+        )
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 1.0,
+    prefix_len: int = 3,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, 'Data Selection for
+    Language Models via Importance Resampling'): fit two bag-of-hashed-
+    n-gram models — one over the `target`-domain rows, one over the full
+    raw corpus — and weight every document by its log-likelihood ratio
+        w(d) = sum over d's grams g of ln( p_t(bucket(g)) / p_r(bucket(g)) )
+    so resampling by w(d) (e.g. topk_per_group / Gumbel top-k downstream)
+    shifts the corpus toward the target domain.
+
+    `target` is a boolean Column over df's rows (e.g. F.col('lang')=='en').
+    Features are unigrams + bigrams hashed into B = 16^prefix_len buckets
+    via an md5-prefix STRING key — the same expression DuckDB evaluates
+    identically (the hash_split discipline), which keeps the operator
+    oracle-portable with no second code path. Bucket probabilities are
+    Laplace-smoothed: p(b) = (c_b + s) / (N + s*B).
+
+    Plan shape (zero UDFs):
+      1. one tokenized scan builds per-doc gram arrays (unigrams ++
+         ordered bigrams, order irrelevant here);
+      2. the bucket model is ONE map-side-combinable groupBy over at most
+         B=4096 keys (conditional sum for the target side rides the same
+         aggregate — no second corpus scan);
+      3. per-bucket log-ratios join back onto the exploded grams via an
+         explicit broadcast (the model is <= B rows by construction);
+      4. re-group by doc. Shuffles: the B-key model aggregate (tiny after
+         map-side combine) and the per-doc re-group — both uniform.
+    Output: (id_col, n_feats, dsir_logratio); documents with zero grams
+    surface with n_feats=0 and NULL ratio. Rounded to 4 decimals for
+    cross-engine float parity."""
+    n_buckets = 16**prefix_len
+    base = df.select(
+        F.col(id_col).alias("id"),
+        target.cast("boolean").alias("is_t"),
+        _tokens(text_col).alias("w"),
+    )
+    bg = F.expr(
+        "IF(size(w) < 2, array(), transform(sequence(1, size(w) - 1), "
+        "i -> concat_ws(' ', slice(w, i, 2))))"
+    )
+    feats = base.select(
+        "id",
+        "is_t",
+        F.explode(F.concat(F.col("w"), bg)).alias("g"),
+    ).withColumn("b", F.substring(F.md5(F.col("g")), 1, prefix_len))
+    counts = feats.groupBy("b").agg(
+        F.sum(F.col("is_t").cast("long")).alias("ct"),
+        F.count("*").alias("cr"),
+    )
+    totals = counts.agg(
+        F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
+    )
+    s = F.lit(float(smoothing))
+    model = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log((F.col("ct") + s) / (F.col("nt") + s * F.lit(n_buckets)))
+            - F.log((F.col("cr") + s) / (F.col("nr") + s * F.lit(n_buckets)))
+        ).alias("logr"),
+    )
+    per_doc = (
+        feats.join(F.broadcast(model), "b")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.round(F.sum("logr"), 4).alias("dsir_logratio"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_feats"), F.lit(0)).alias("n_feats"),
+            "dsir_logratio",
         )
     )
 

@@ -254,3 +254,55 @@ def test_lm_score_min_count_prunes_model(spark):
     d1 = (2 * lp_ab + lp_ba_floor) / 3
     assert rows[1]["lm_logprob"] == round(d1, 4)
     assert rows[2]["lm_logprob"] == round(lp_ab, 4)
+
+
+def test_dsir_weights_matches_python_recompute(spark):
+    """Exact DSIR log-ratios vs an independent pure-python recompute
+    (hashlib md5 buckets, Laplace-smoothed bag models)."""
+    import hashlib
+    import math
+
+    rows = [
+        (1, "spark join shuffle spark", "en"),
+        (2, "join shuffle", "en"),
+        (3, "el la de el", "es"),
+        (4, "", "es"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {
+        r["doc_id"]: r
+        for r in CU.dsir_weights(d, F.col("lang") == "en").collect()
+    }
+
+    def toks(t):
+        return [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+
+    def grams(t):
+        w = toks(t)
+        return w + [f"{a} {b}" for a, b in zip(w, w[1:])]
+
+    def bucket(g):
+        return hashlib.md5(g.encode()).hexdigest()[:3]
+
+    ct, cr = {}, {}
+    for _, text, lang in rows:
+        for g in grams(text):
+            b = bucket(g)
+            cr[b] = cr.get(b, 0) + 1
+            if lang == "en":
+                ct[b] = ct.get(b, 0) + 1
+    nt, nr, B = sum(ct.values()), sum(cr.values()), 4096
+    for doc_id, text, _ in rows:
+        gs = grams(text)
+        assert got[doc_id]["n_feats"] == len(gs)
+        if not gs:
+            assert got[doc_id]["dsir_logratio"] is None
+            continue
+        want = sum(
+            math.log((ct.get(bucket(g), 0) + 1.0) / (nt + B))
+            - math.log((cr.get(bucket(g), 0) + 1.0) / (nr + B))
+            for g in gs
+        )
+        assert got[doc_id]["dsir_logratio"] == round(want, 4), doc_id
+    # sanity: target-domain docs carry positive ratios, off-domain negative
+    assert got[1]["dsir_logratio"] > 0 > got[3]["dsir_logratio"]
