@@ -592,6 +592,18 @@ def q_dsir_weights(spark, sf_dir):
     return CU.dsir_weights(d, F.col("lang") == "en")
 
 
+def q_dsir_sample(spark, sf_dir):
+    """Gumbel-top-k resample over the DSIR weights: 50 docs drawn without
+    replacement with probability proportional to exp(dsir_logratio), via
+    deterministic md5-derived Gumbel keys — the draw is reproducible from
+    the spec, so DuckDB recomputes the identical sample."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = CU.dsir_weights(d, F.col("lang") == "en").where(
+        F.col("dsir_logratio").isNotNull()
+    )
+    return CU.gumbel_topk(w, "dsir_logratio", k=50)
+
+
 def q_ngram_jaccard_dups(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return DD.ngram_jaccard_pairs(d, threshold=JACCARD_THRESHOLD, k=JACCARD_K)
@@ -1448,6 +1460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "lm_quality": q_lm_quality,
         "dsir_weights": q_dsir_weights,
+        "dsir_sample": q_dsir_sample,
     }
 
 
@@ -1531,6 +1544,45 @@ def _langid_oracle() -> str:
         for lang in sorted(LANG_PROFILES, reverse=True)
     )
     return _LANGID_ORACLE.format(hit_exprs=hit_exprs, hit_cols=hit_cols, tie_cases=tie_cases)
+
+
+# DSIR weights recomputed from the operator's spec: md5-prefix buckets are
+# engine-portable strings, so the SAME expressions run on both engines.
+# Shared by the dsir_weights parity entry and the dsir_sample CTE.
+_DSIR_ORACLE = (
+    "WITH base AS ("
+    "  SELECT doc_id, (lang = 'en') AS is_t, list_filter("
+    "    regexp_split_to_array(lower(text), '[^a-z0-9]+'),"
+    "    t -> t <> '') AS w"
+    "  FROM documents"
+    "), bgs AS ("
+    "  SELECT doc_id, is_t, list_concat(w,"
+    "    CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)),"
+    "      i -> array_to_string(list_slice(w, i, i + 1), ' '))"
+    "    ELSE [] END) AS grams"
+    "  FROM base"
+    "), feats AS ("
+    "  SELECT doc_id, is_t, substr(md5(g), 1, 3) AS b"
+    "  FROM (SELECT doc_id, is_t, unnest(grams) AS g FROM bgs)"
+    "), counts AS ("
+    "  SELECT b, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,"
+    "         count(*) AS cr"
+    "  FROM feats GROUP BY 1"
+    "), totals AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM counts), "
+    "model AS ("
+    "  SELECT b, ln((ct + 1.0) / (nt + 1.0 * 4096))"
+    "          - ln((cr + 1.0) / (nr + 1.0 * 4096)) AS logr"
+    "  FROM counts CROSS JOIN totals"
+    "), per AS ("
+    "  SELECT doc_id, count(*) AS n_feats,"
+    "         round(sum(logr), 4) AS dsir_logratio"
+    "  FROM feats JOIN model USING (b) GROUP BY 1"
+    ") "
+    "SELECT d.doc_id,"
+    "  cast(coalesce(p.n_feats, 0) as bigint) AS n_feats,"
+    "  p.dsir_logratio "
+    "FROM documents d LEFT JOIN per p USING (doc_id)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1830,39 +1882,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         # DSIR weights recomputed from the same spec (md5-prefix buckets are
         # engine-portable strings, so no second code path)
-        "dsir_weights": (
-            "WITH base AS ("
-            "  SELECT doc_id, (lang = 'en') AS is_t, list_filter("
-            "    regexp_split_to_array(lower(text), '[^a-z0-9]+'),"
-            "    t -> t <> '') AS w"
-            "  FROM documents"
-            "), bgs AS ("
-            "  SELECT doc_id, is_t, list_concat(w,"
-            "    CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)),"
-            "      i -> array_to_string(list_slice(w, i, i + 1), ' '))"
-            "    ELSE [] END) AS grams"
-            "  FROM base"
-            "), feats AS ("
-            "  SELECT doc_id, is_t, substr(md5(g), 1, 3) AS b"
-            "  FROM (SELECT doc_id, is_t, unnest(grams) AS g FROM bgs)"
-            "), counts AS ("
-            "  SELECT b, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,"
-            "         count(*) AS cr"
-            "  FROM feats GROUP BY 1"
-            "), totals AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM counts), "
-            "model AS ("
-            "  SELECT b, ln((ct + 1.0) / (nt + 1.0 * 4096))"
-            "          - ln((cr + 1.0) / (nr + 1.0 * 4096)) AS logr"
-            "  FROM counts CROSS JOIN totals"
-            "), per AS ("
-            "  SELECT doc_id, count(*) AS n_feats,"
-            "         round(sum(logr), 4) AS dsir_logratio"
-            "  FROM feats JOIN model USING (b) GROUP BY 1"
+        "dsir_weights": _DSIR_ORACLE,
+        # Gumbel-top-k resample over the DSIR weights: same deterministic
+        # md5-derived uniforms on both engines
+        "dsir_sample": (
+            f"WITH weights AS ({_DSIR_ORACLE}), "
+            "keyed AS ("
+            "  SELECT doc_id, dsir_logratio, dsir_logratio +"
+            "    (-ln(-ln((CAST('0x' ||"
+            "       substr(md5('gumbel:' || CAST(doc_id AS VARCHAR)), 1, 13)"
+            "       AS BIGINT) + 0.5) / 4503599627370496.0))) AS k"
+            "  FROM weights WHERE dsir_logratio IS NOT NULL"
             ") "
-            "SELECT d.doc_id,"
-            "  cast(coalesce(p.n_feats, 0) as bigint) AS n_feats,"
-            "  p.dsir_logratio "
-            "FROM documents d LEFT JOIN per p USING (doc_id)"
+            "SELECT doc_id, dsir_logratio, round(k, 4) AS sample_key "
+            "FROM keyed ORDER BY k DESC, doc_id LIMIT 50"
         ),
         # bigram-LM quality scores recomputed from the same spec
         "lm_quality": (

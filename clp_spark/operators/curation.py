@@ -47,6 +47,7 @@ __all__ = [
     "bm25_rank",
     "lm_score",
     "dsir_weights",
+    "gumbel_topk",
     "PII_PATTERNS",
     "pii_redact",
     "pii_stats",
@@ -450,6 +451,47 @@ def dsir_weights(
             F.coalesce(F.col("n_feats"), F.lit(0)).alias("n_feats"),
             "dsir_logratio",
         )
+    )
+
+
+def gumbel_topk(
+    df: DataFrame,
+    score_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "gumbel:",
+) -> DataFrame:
+    """Deterministic Gumbel-top-k resampling: draw k rows WITHOUT
+    replacement with probability proportional to exp(score) — the sampling
+    step of DSIR (pair with dsir_weights' log-ratios) and of any
+    softmax-weighted corpus selection. The Gumbel-max trick makes it a
+    simple global top-k: key = score + Gumbel(noise), noise derived from
+    md5(salt || id) so the draw is reproducible from the spec alone and
+    re-salting gives an independent resample (the hash_split discipline —
+    no RNG state, no cluster-size dependence).
+
+    u = (first 13 md5 hex digits + 0.5) / 2^52  (exact in a double)
+    key = score + (-ln(-ln(u)))
+
+    Plan: one narrow projection + TakeOrderedAndProject — no shuffle of the
+    corpus, each partition ships only its local top-k. Engine-portable:
+    Spark's conv(hex,16,10) and DuckDB's CAST('0x'||hex) parse the same md5
+    prefix; ln/exp are IEEE-double on both sides (keys are continuous, so
+    boundary ties are measure-zero)."""
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 13),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 52))
+    key = F.col(score_col) + (-F.log(-F.log(u)))
+    return (
+        df.select(id_col, score_col, key.alias("_k"))
+        .orderBy(F.desc("_k"), id_col)
+        .limit(k)
+        .select(id_col, score_col, F.round(F.col("_k"), 4).alias("sample_key"))
     )
 
 

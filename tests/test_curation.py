@@ -306,3 +306,37 @@ def test_dsir_weights_matches_python_recompute(spark):
         assert got[doc_id]["dsir_logratio"] == round(want, 4), doc_id
     # sanity: target-domain docs carry positive ratios, off-domain negative
     assert got[1]["dsir_logratio"] > 0 > got[3]["dsir_logratio"]
+
+
+def test_gumbel_topk_matches_python_recompute(spark):
+    """The Gumbel keys are pure functions of (salt, id), so an independent
+    hashlib recompute must produce the identical sample; exp(score)
+    proportionality is exercised by scoring one row far above the rest."""
+    import hashlib
+    import math
+
+    rows = [(i, float(-(i % 7))) for i in range(1, 101)] + [(999, 50.0)]
+    d = spark.createDataFrame(rows, ["doc_id", "score"])
+    got = CU.gumbel_topk(d, "score", k=10).collect()
+
+    def key(doc_id, score, salt="gumbel:"):
+        h = hashlib.md5(f"{salt}{doc_id}".encode()).hexdigest()[:13]
+        u = (int(h, 16) + 0.5) / float(1 << 52)
+        return score + (-math.log(-math.log(u)))
+
+    want = sorted(rows, key=lambda r: (-key(r[0], r[1]), r[0]))[:10]
+    assert [(r["doc_id"], r["score"]) for r in got] == want
+    # a +50 log-weight row wins with overwhelming probability
+    assert got[0]["doc_id"] == 999
+    for r in got:
+        assert r["sample_key"] == round(key(r["doc_id"], r["score"]), 4)
+
+
+def test_gumbel_topk_resalting_gives_independent_draws(spark):
+    d = spark.createDataFrame(
+        [(i, 0.0) for i in range(1, 201)], ["doc_id", "score"]
+    )
+    a = {r["doc_id"] for r in CU.gumbel_topk(d, "score", k=20).collect()}
+    b = {r["doc_id"] for r in CU.gumbel_topk(d, "score", k=20, salt="g2:").collect()}
+    assert a != b  # equal-score draws differ under a new salt
+    assert len(a) == len(b) == 20
