@@ -971,7 +971,8 @@ def q_operator_invariants(spark, sf_dir):
     """All signature-operator invariants as ONE oracle-checked row
     (missed=0, diff=0, bad=0, violations=0, ok=1, ok_ivf=1, ok_clusters=1,
     ok_pack=1, ok_pca=1, ok_fmtfloat=1, ok_epoch_prune=1, ok_bpe=1,
-    ok_resize=1) — the same proofs as the individual q_*_check queries
+    ok_resize=1, ok_semdedup=1) — the same proofs as the individual
+    q_*_check queries
     (still defined above and pytest-run), but occupying one slot of the
     driver's 50-row correctness window so the freed slots go to
     oracle-bearing operator queries."""
@@ -989,6 +990,7 @@ def q_operator_invariants(spark, sf_dir):
         .crossJoin(q_epoch_prune_check(spark, sf_dir))
         .crossJoin(q_bpe_check(spark, sf_dir))
         .crossJoin(q_resize_check(spark, sf_dir))
+        .crossJoin(q_semdedup_check(spark, sf_dir))
     )
     return row
 
@@ -1314,6 +1316,86 @@ def q_resize_check(spark, sf_dir):
     )
 
 
+# Low threshold for the same reason as q_cosine_neardup: the synthetic
+# embeddings have no true near-dups (max pairwise sim ~0.51), so a
+# realistic 0.95 would keep everything and the query would exercise
+# nothing. 0.4 drops a meaningful fraction; production callers use ~0.95.
+SEMDEDUP_THRESHOLD = 0.4
+SEMDEDUP_CENTROIDS = 8
+
+
+def q_semdedup_keep(spark, sf_dir):
+    """SemDeDup keep/drop assignment over the embeddings table (rows-only:
+    the greedy within-cell selection is iterative, not SQL-expressible —
+    its coverage/independence proofs ride the ok_semdedup invariant)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SIM.semdedup(
+        e,
+        threshold=SEMDEDUP_THRESHOLD,
+        n_centroids=SEMDEDUP_CENTROIDS,
+        dim=EMB_DIM,
+    )
+
+
+def q_semdedup_check(spark, sf_dir):
+    """SemDeDup invariants recomputed FROM THE OUTPUT (independent of the
+    operator's greedy internals): every id exactly once; every dropped item
+    has a kept neighbor with cosine >= threshold in its cell (coverage);
+    kept items are pairwise < threshold (independence). Output:
+    ok_semdedup = 1."""
+    import numpy as _np
+    import pandas as _pd
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = q_semdedup_keep(spark, sf_dir)
+    joined = out.join(
+        e.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v")), "id"
+    )
+
+    def cell_violations(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        mat = _np.stack(pdf["v"].to_numpy()).astype(_np.float64)
+        matn = mat / _np.maximum(
+            _np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+        )
+        gram = _np.round(matn @ matn.T, 6)
+        keep = pdf["keep"].to_numpy()
+        v = 0
+        ki = _np.flatnonzero(keep)
+        di = _np.flatnonzero(~keep)
+        if len(ki) > 1:
+            kg = gram[_np.ix_(ki, ki)]
+            _np.fill_diagonal(kg, 0.0)
+            v += int((kg >= SEMDEDUP_THRESHOLD).sum()) // 2
+        if len(di) and len(ki):
+            v += int((gram[_np.ix_(di, ki)].max(axis=1) < SEMDEDUP_THRESHOLD).sum())
+        elif len(di) and not len(ki):
+            v += len(di)
+        return _pd.DataFrame({"violations": [v], "n": [len(pdf)]})
+
+    per_cell = joined.groupBy("cluster").applyInPandas(
+        cell_violations, schema="violations long, n long"
+    )
+    stats = per_cell.agg(
+        F.sum("violations").alias("viol"), F.sum("n").alias("n_out")
+    )
+    ids = out.agg(F.countDistinct("id").alias("n_ids"))
+    total = e.agg(F.count("*").alias("n_in"))
+    return (
+        stats.crossJoin(ids)
+        .crossJoin(total)
+        .select(
+            F.when(
+                (F.col("viol") == 0)
+                & (F.col("n_out") == F.col("n_in"))
+                & (F.col("n_ids") == F.col("n_in")),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("ok_semdedup")
+        )
+    )
+
+
 def q_ann_topk(spark, sf_dir):
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return SIM.cosine_topk(e, _query_vec(spark, sf_dir), k=10)
@@ -1461,6 +1543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality": q_lm_quality,
         "dsir_weights": q_dsir_weights,
         "dsir_sample": q_dsir_sample,
+        "semdedup_keep": q_semdedup_keep,
     }
 
 
@@ -2069,7 +2152,8 @@ SELECT vec_id, nbr_id, rank, sim FROM ranked WHERE rank <= 5"""
             "SELECT cast(0 as bigint) AS missed, cast(0 as bigint) AS diff, "
             "cast(0 as bigint) AS bad, cast(0 as bigint) AS violations, "
             "1 AS ok, 1 AS ok_ivf, 1 AS ok_clusters, 1 AS ok_pack, 1 AS ok_pca, "
-            "1 AS ok_fmtfloat, 1 AS ok_epoch_prune, 1 AS ok_bpe, 1 AS ok_resize"
+            "1 AS ok_fmtfloat, 1 AS ok_epoch_prune, 1 AS ok_bpe, 1 AS ok_resize, "
+            "1 AS ok_semdedup"
         ),
         "asof_enrich": (
             """WITH dim AS (

@@ -649,3 +649,110 @@ def cosine_neardup_pairs(
             )
 
     return paired.mapInPandas(verify, schema=ver_schema)
+
+
+def semdedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 32,
+    iters: int = 8,
+    dim: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication inside k-means cells. Cluster the embeddings, then within
+    each cell greedily keep a maximal set of mutually-dissimilar items:
+    candidates are visited farthest-from-centroid first (the paper's
+    low-centroid-similarity keeper preference — cluster-edge examples are
+    the informative ones) and an item is kept iff its cosine to every
+    already-kept item is < threshold. Every dropped item is therefore
+    >= threshold-similar to some kept item in its cell (coverage), and kept
+    items are pairwise dissimilar (independence) — both re-checked from the
+    output by the ok_semdedup driver invariant.
+
+    Plan shape: centroid training reuses the cached IVF quantizer (one scan
+    per Lloyd iteration, driver-side update); assignment is one Arrow-
+    batched matmul; the dedup itself is ONE shuffle on the cell id
+    (applyInPandas), with each cell's m x m Gram matrix computed locally by
+    a single GEMM. Size n_centroids ~ sqrt(n) like the IVF quantizer so
+    cells stay ~sqrt(n)-sized and the per-cell quadratic work stays
+    bounded; ties inside a cell break on id, so the output is deterministic
+    under any partitioning.
+
+    Output: (id_col, cluster, centroid_sim, keep)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    cents = _centroids_cached(df, dim, n_centroids, iters, vec_col, id_col)
+    c = np.asarray(cents, dtype=np.float64)
+    c_norm = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+
+    assigned = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
+
+    from pyspark.sql.types import BooleanType, DoubleType
+
+    id_type = df.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("id", id_type),
+            StructField("cluster", LongType()),
+            StructField("centroid_sim", DoubleType()),
+            StructField("keep", BooleanType()),
+        ]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            matn = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )
+            sims = matn @ c_norm.T
+            cl = np.argmax(sims, axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "cluster": cl.astype(np.int64),
+                    "centroid_sim": np.round(sims[np.arange(len(cl)), cl], 6),
+                    "v": pdf["v"],
+                }
+            )
+
+    with_cell = assigned.mapInPandas(
+        assign,
+        schema=StructType(
+            [
+                StructField("id", id_type),
+                StructField("cluster", LongType()),
+                StructField("centroid_sim", DoubleType()),
+                StructField("v", df.schema[vec_col].dataType),
+            ]
+        ),
+    )
+
+    def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        # visit farthest-from-centroid first; id tiebreak -> deterministic
+        order = np.lexsort((pdf["id"].to_numpy(), pdf["centroid_sim"].to_numpy()))
+        mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        matn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        gram = np.round(matn @ matn.T, 6)
+        keep = np.zeros(len(pdf), dtype=bool)
+        kept: list[int] = []
+        for i in order:
+            if not kept or gram[i, kept].max() < threshold:
+                keep[i] = True
+                kept.append(i)
+        return pd.DataFrame(
+            {
+                "id": pdf["id"],
+                "cluster": pdf["cluster"],
+                "centroid_sim": pdf["centroid_sim"],
+                "keep": keep,
+            }
+        )
+
+    return with_cell.groupBy("cluster").applyInPandas(dedup_cell, schema=out_schema)

@@ -512,3 +512,57 @@ def test_repetition_stats_shuffle_free_plan(spark):
     df = spark.createDataFrame([(1, "x y x y")], "doc_id long, text string")
     plan = repetition_stats(df, n=2)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_semdedup_invariants_and_planted_dup(spark):
+    """Coverage (every dropped item is >= threshold-close to a kept item in
+    its cell), independence (kept items pairwise < threshold per cell),
+    exactly-once — recomputed with numpy from the output; and a planted
+    exact duplicate of vec 0 must lose to exactly one keeper."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    dup = e.filter("vec_id = 0").withColumn("vec_id", F.lit(100000).cast("long"))
+    planted = e.unionByName(dup)
+    out = SIM.semdedup(planted, threshold=0.95, n_centroids=8, dim=64)
+    rows = out.collect()
+    n_in = planted.count()
+    assert len(rows) == n_in
+    assert len({r["id"] for r in rows}) == n_in
+
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], float) for r in planted.collect()}
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r["cluster"], []).append(r)
+    for cell, members in by_cell.items():
+        ids = [m["id"] for m in members]
+        mat = np.stack([vecs[i] for i in ids])
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        gram = np.round(mat @ mat.T, 6)
+        keep = np.array([m["keep"] for m in members])
+        ki = np.flatnonzero(keep)
+        for i in np.flatnonzero(~keep):
+            assert gram[i, ki].max() >= 0.95, (cell, ids[i])
+        kg = gram[np.ix_(ki, ki)]
+        np.fill_diagonal(kg, 0.0)
+        assert (kg < 0.95).all(), cell
+
+    # exact duplicate pair: exactly one of (0, 100000) survives
+    kept = {r["id"]: r["keep"] for r in rows}
+    assert kept[0] != kept[100000]
+
+
+def test_semdedup_deterministic_across_partitioning(spark):
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    a = {
+        (r["id"], r["cluster"], r["keep"])
+        for r in SIM.semdedup(e, threshold=0.95, n_centroids=8, dim=64).collect()
+    }
+    b = {
+        (r["id"], r["cluster"], r["keep"])
+        for r in SIM.semdedup(
+            e.repartition(13), threshold=0.95, n_centroids=8, dim=64
+        ).collect()
+    }
+    assert a == b
