@@ -604,6 +604,50 @@ def q_dsir_sample(spark, sf_dir):
     return CU.gumbel_topk(w, "dsir_logratio", k=50)
 
 
+FUNNEL_MIN_WORDS = 30
+FUNNEL_MAX_STOPRATIO = 0.12
+
+
+def q_pipeline_funnel(spark, sf_dir):
+    """FineWeb-style curation funnel composed from the shipped operators —
+    quality gate (quality_metrics thresholds) -> exact dedup keepers
+    (dedup_exact) -> metadata language gate -> deterministic splits
+    (hash_split) — reported as per-stage survivor counts. This is the
+    composition a real corpus build runs end-to-end; the DuckDB oracle
+    recomputes every stage, so the chained semantics (not just each
+    operator alone) are parity-checked."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = TM.quality_metrics(d)
+    keep_q = d.join(
+        q.where(
+            (F.col("n_words") >= FUNNEL_MIN_WORDS)
+            & (F.col("stopword_ratio") <= FUNNEL_MAX_STOPRATIO)
+        ).select("doc_id"),
+        "doc_id",
+    )
+    keepers = DD.dedup_exact(keep_q).select(F.col("keeper_id").alias("doc_id"))
+    deduped = keep_q.join(keepers, "doc_id")
+    lang = deduped.where(F.col("lang").isin("en", "es"))
+    split = CU.hash_split(lang)
+
+    def stage(name, df_):
+        return df_.agg(F.count("*").alias("n")).select(
+            F.lit(name).alias("stage"), "n"
+        )
+
+    return (
+        stage("0_input", d)
+        .unionByName(stage("1_quality", keep_q))
+        .unionByName(stage("2_dedup", deduped))
+        .unionByName(stage("3_lang", lang))
+        .unionByName(
+            split.groupBy("split")
+            .agg(F.count("*").alias("n"))
+            .select(F.concat(F.lit("4_split_"), F.col("split")).alias("stage"), "n")
+        )
+    )
+
+
 def q_ngram_jaccard_dups(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return DD.ngram_jaccard_pairs(d, threshold=JACCARD_THRESHOLD, k=JACCARD_K)
@@ -1544,6 +1588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "dsir_sample": q_dsir_sample,
         "semdedup_keep": q_semdedup_keep,
+        "pipeline_funnel": q_pipeline_funnel,
     }
 
 
@@ -1962,6 +2007,36 @@ def oracle_sql() -> dict[str, str]:
         "events_by_type": (
             "SELECT event_type, count(*) AS cnt, round(avg(value), 3) AS avg_value "
             "FROM events GROUP BY 1"
+        ),
+        # the chained curation funnel, every stage recomputed
+        "pipeline_funnel": (
+            f"WITH q AS ({_QUALITY_ORACLE.format(stops=stops)}), "
+            "keep_q AS ("
+            "  SELECT d.* FROM documents d JOIN q USING (doc_id)"
+            f"  WHERE q.n_words >= {FUNNEL_MIN_WORDS}"
+            f"    AND q.stopword_ratio <= {FUNNEL_MAX_STOPRATIO}"
+            "), keepers AS ("
+            "  SELECT min(doc_id) AS doc_id FROM keep_q GROUP BY text"
+            "), deduped AS ("
+            "  SELECT k.* FROM keep_q k JOIN keepers USING (doc_id)"
+            "), lang AS ("
+            "  SELECT * FROM deduped WHERE lang IN ('en', 'es')"
+            "), split AS ("
+            "  SELECT CASE"
+            "    WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)"
+            "         < 'cccc' THEN 'train'"
+            "    WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)"
+            "         < 'e666' THEN 'val'"
+            "    ELSE 'test' END AS split"
+            "  FROM lang"
+            ") "
+            "SELECT '0_input' AS stage, cast(count(*) as bigint) AS n"
+            "  FROM documents "
+            "UNION ALL SELECT '1_quality', cast(count(*) as bigint) FROM keep_q "
+            "UNION ALL SELECT '2_dedup', cast(count(*) as bigint) FROM deduped "
+            "UNION ALL SELECT '3_lang', cast(count(*) as bigint) FROM lang "
+            "UNION ALL SELECT '4_split_' || split, cast(count(*) as bigint)"
+            "  FROM split GROUP BY split"
         ),
         # DSIR weights recomputed from the same spec (md5-prefix buckets are
         # engine-portable strings, so no second code path)
