@@ -33,6 +33,7 @@ from clp_spark.operators import dedup as DD
 from clp_spark.operators import packing as PK
 from clp_spark.operators import reduce_dim as RD
 from clp_spark.operators import bpe as BPE
+from clp_spark.operators import chunking as CHK
 from clp_spark.operators import context as CTX
 from clp_spark.operators import quantize as QZ
 from clp_spark.operators import cluster as CL
@@ -798,6 +799,36 @@ def q_quantize_error(spark, sf_dir):
             "bound_violations"
         ),
     )
+
+
+MIX_WEIGHTS = {"src2": 0.5, "src5": 0.3, "src8": 0.2}
+MIX_TOTAL_TOKENS = 2000
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Token-budget corpus mixing (operators/curation.py mixture_sample):
+    fill a 2000-token budget 50/30/20 across three sources, keeping each
+    source's documents in salted-hash order until its share is spent. The
+    prefix sum is two-level (256 hash-prefix buckets decided whole, one
+    boundary bucket per source pays a row window) so no source ever
+    serializes into a single partition; the oracle runs the equivalent
+    naive single-window rule. Output rows are budget-bound, so the result
+    size is O(budget), independent of corpus scale."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return CU.mixture_sample(d, MIX_WEIGHTS, MIX_TOTAL_TOKENS)
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Retrieval chunking (operators/chunking.py): 64-token windows at
+    stride 48 over every 5th document — a single shuffle-free projection
+    (tokenize, sequence of starts, posexplode, slice), chunks stay
+    co-partitioned with their document for a downstream embed stage."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") % 5 == 0
+    )
+    return CHK.chunk_documents(d, CHUNK_TOKENS, CHUNK_STRIDE)
 
 
 def q_bm25_rank(spark, sf_dir):
@@ -1589,6 +1620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": q_dsir_sample,
         "semdedup_keep": q_semdedup_keep,
         "pipeline_funnel": q_pipeline_funnel,
+        "mixture_sample": q_mixture_sample,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -2330,6 +2363,35 @@ FROM transcripts"""
   string_agg(coalesce(role, '') || ': ' || coalesce(text, ''),
              chr(10) ORDER BY turn_idx) AS doc
 FROM transcripts GROUP BY conv_id"""
+        ),
+        "mixture_sample": (
+            """WITH base AS (
+  SELECT doc_id, source,
+    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                    t -> t <> '')) AS n_tokens,
+    md5('mix:' || CAST(doc_id AS VARCHAR)) AS h,
+    CASE source WHEN 'src2' THEN 1000 WHEN 'src5' THEN 600
+                WHEN 'src8' THEN 400 END AS budget
+  FROM documents WHERE source IN ('src2', 'src5', 'src8')
+), cum AS (
+  SELECT doc_id, source, n_tokens, budget,
+    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+  FROM base WHERE n_tokens > 0
+)
+SELECT doc_id, source, n_tokens FROM cum WHERE c < budget"""
+        ),
+        "chunk_documents": (
+            r"""WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS ts
+  FROM documents WHERE doc_id % 5 = 0
+), nz AS (SELECT doc_id, ts, len(ts) AS n FROM toks WHERE len(ts) > 0)
+SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx,
+  array_to_string(list_slice(ts, (i - 1) * 48 + 1, (i - 1) * 48 + 64),
+                  ' ') AS chunk_text,
+  CAST(least(64, n - (i - 1) * 48) AS BIGINT) AS n_tokens
+FROM nz CROSS JOIN unnest(generate_series(1, CAST(ceil(n / 48.0) AS BIGINT))) AS u(i)"""
         ),
         # minhash_lsh_dups / simhash / fingerprint / ann_topk_lsh: hash- or
         # signature-based (not ANSI-SQL-expressible) -> driver rows-only check.

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "hash_split",
     "stratified_sample",
+    "mixture_sample",
     "topk_per_group",
     "token_vocab",
     "word_ngrams",
@@ -146,6 +147,123 @@ def stratified_sample(
             expr
         )
     return df.where(bucket < expr)
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    total_tokens: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget data mixing: keep documents per source until that
+    source's share of a total token budget is filled — the mixture step of
+    pretraining-corpus assembly (e.g. 60% web, 30% code, 10% books, capped
+    at N total tokens).
+
+    Keep rule (the whole spec): a document is kept iff its source has a
+    positive weight, it has >= 1 token (the lowercased-alnum counting rule
+    shared with token_vocab/pack_sequences, so budgets line up across the
+    pipeline), and its EXCLUSIVE prefix token sum — over the source's
+    documents ordered by (md5('mix:' || id), id) — is < floor(total_tokens
+    * weight). Hash order makes the kept set a uniform random-looking
+    subset, reproducible from the spec alone, salted per purpose like
+    hash_split/stratified_sample so composition with those stays
+    independent; the budget-crossing document is kept, so every source with
+    enough data reaches at least its budget.
+
+    Scale shape (10^12-doc regime): a naive window prefix-sum serializes
+    each source into ONE partition — a hot-key ceiling when a source spans
+    terabytes. Instead the prefix sum is two-level: documents bucket by the
+    first 2 hex digits of the hash (256 buckets, a PREFIX of the ordering
+    key, so bucket order == row order), one tiny aggregate (<= 256 rows per
+    source) decides which buckets are kept whole or dropped whole, and only
+    the single boundary bucket per source pays a row-level window — over
+    ~1/256 of that source. Shuffles: the bucket aggregate plus the
+    boundary-bucket window; the bucket decision table is broadcast. The
+    result is row-for-row identical to the naive single-window rule (which
+    is exactly what the DuckDB oracle runs).
+    """
+    from pyspark.sql import Window
+
+    budgets = {
+        s: int(total_tokens * w) for s, w in weights.items() if w > 0
+    }
+    if not budgets:
+        raise ValueError("weights must contain at least one positive entry")
+    budget_expr = F.lit(None).cast("long")
+    for name, b in sorted(budgets.items()):
+        budget_expr = (
+            F.when(F.col(source_col) == F.lit(name), F.lit(b))
+            .otherwise(budget_expr)
+            .cast("long")
+        )
+
+    h = F.md5(F.concat(F.lit("mix:"), F.col(id_col).cast("string")))
+    base = (
+        df.where(F.col(source_col).isin(*budgets))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(source_col).alias("source"),
+            F.size(_tokens(text_col)).cast("long").alias("n_tokens"),
+            h.alias("_h"),
+            budget_expr.alias("_budget"),
+        )
+        .withColumn("_bucket", F.substring("_h", 1, 2))
+        .where(F.col("n_tokens") > 0)
+    )
+
+    # level 1: per-(source, bucket) token totals + exclusive running sum in
+    # bucket order — <= 256 rows/source, broadcastable.
+    bw = (
+        Window.partitionBy("source")
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    buckets = (
+        base.groupBy("source", "_bucket", "_budget")
+        .agg(F.sum("n_tokens").alias("_btok"))
+        .withColumn("_bcum", F.coalesce(F.sum("_btok").over(bw), F.lit(0)))
+        .select(
+            "source",
+            "_bucket",
+            "_bcum",
+            # keep-whole: every row's exclusive prefix stays < budget
+            # (n_tokens >= 1 makes the last row's prefix strictly below
+            # _bcum + _btok). boundary: the budget lands inside the bucket.
+            (F.col("_bcum") + F.col("_btok") <= F.col("_budget")).alias(
+                "_full"
+            ),
+            (
+                (F.col("_bcum") < F.col("_budget"))
+                & (F.col("_bcum") + F.col("_btok") > F.col("_budget"))
+            ).alias("_boundary"),
+        )
+        .where(F.col("_full") | F.col("_boundary"))
+    )
+
+    joined = base.join(
+        F.broadcast(buckets), on=["source", "_bucket"], how="inner"
+    )
+    kept_full = joined.where(F.col("_full"))
+
+    # level 2: row-level exclusive prefix inside the boundary bucket only.
+    rw = (
+        Window.partitionBy("source", "_bucket")
+        .orderBy("_h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    kept_boundary = (
+        joined.where(F.col("_boundary"))
+        .withColumn(
+            "_rcum", F.coalesce(F.sum("n_tokens").over(rw), F.lit(0))
+        )
+        .where(F.col("_bcum") + F.col("_rcum") < F.col("_budget"))
+    )
+
+    cols = ["doc_id", "source", "n_tokens"]
+    return kept_full.select(*cols).unionByName(kept_boundary.select(*cols))
 
 
 def topk_per_group(

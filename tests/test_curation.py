@@ -340,3 +340,103 @@ def test_gumbel_topk_resalting_gives_independent_draws(spark):
     b = {r["doc_id"] for r in CU.gumbel_topk(d, "score", k=20, salt="g2:").collect()}
     assert a != b  # equal-score draws differ under a new salt
     assert len(a) == len(b) == 20
+
+
+# ---------------------------------------------------------- mixture_sample --
+
+
+def _mix_python_oracle(rows, weights, total):
+    """Naive single-pass recompute of the documented keep rule: exclusive
+    prefix token sum over (md5('mix:'||id), id) order per source < budget."""
+    import hashlib
+    import re as _re
+
+    budgets = {s: int(total * w) for s, w in weights.items() if w > 0}
+    per_source: dict[str, list] = {}
+    for doc_id, source, text in rows:
+        if source not in budgets:
+            continue
+        n = len([t for t in _re.split("[^a-z0-9]+", text.lower()) if t])
+        if n == 0:
+            continue
+        h = hashlib.md5(f"mix:{doc_id}".encode()).hexdigest()
+        per_source.setdefault(source, []).append((h, doc_id, n))
+    kept = set()
+    for source, docs in per_source.items():
+        cum = 0
+        for h, doc_id, n in sorted(docs):
+            if cum < budgets[source]:
+                kept.add((doc_id, source, n))
+            cum += n
+    return kept
+
+
+def test_mixture_sample_matches_python_recompute(spark):
+    d = _docs(spark)
+    weights = {"src0": 0.5, "src3": 0.3, "src7": 0.15, "src9": 0.05}
+    got = {
+        (r["doc_id"], r["source"], r["n_tokens"])
+        for r in CU.mixture_sample(d, weights, 3000).collect()
+    }
+    rows = [(r["doc_id"], r["source"], r["text"]) for r in d.collect()]
+    assert got == _mix_python_oracle(rows, weights, 3000)
+
+
+def test_mixture_sample_reaches_budget_per_source(spark):
+    """Each source's kept token total lands in [budget, budget + max_doc) —
+    the crossing doc is kept, nothing beyond it — unless the source runs
+    out of tokens first, in which case every tokenful doc is kept."""
+    d = _docs(spark)
+    weights = {"src1": 0.6, "src2": 0.4}
+    total = 2500
+    out = CU.mixture_sample(d, weights, total).collect()
+    tot: dict[str, int] = {}
+    mx = 0
+    for r in out:
+        tot[r["source"]] = tot.get(r["source"], 0) + r["n_tokens"]
+        mx = max(mx, r["n_tokens"])
+    avail = {
+        r["source"]: r["t"]
+        for r in d.where(F.col("source").isin(*weights))
+        .groupBy("source")
+        .agg(F.sum(F.size(CU._tokens("text"))).alias("t"))
+        .collect()
+    }
+    exhausted = False
+    for s, w in weights.items():
+        budget = int(total * w)
+        if avail[s] < budget:
+            assert tot[s] == avail[s]  # source exhausted: all docs kept
+            exhausted = True
+        else:
+            assert budget <= tot[s] < budget + mx
+    # the fixture must exercise BOTH branches or the test degrades silently
+    assert exhausted and len(weights) == 2 and avail["src2"] >= total * 0.4
+
+
+def test_mixture_sample_independent_of_partitioning(spark):
+    d = _docs(spark)
+    weights = {"src4": 1.0}
+    a = {tuple(r) for r in CU.mixture_sample(d, weights, 1500).collect()}
+    b = {
+        tuple(r)
+        for r in CU.mixture_sample(d.repartition(17), weights, 1500).collect()
+    }
+    assert a == b and a
+
+
+def test_mixture_sample_zero_weight_source_dropped(spark):
+    d = _docs(spark)
+    out = CU.mixture_sample(d, {"src0": 1.0, "src1": 0.0}, 10_000)
+    assert {r["source"] for r in out.collect()} == {"src0"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        CU.mixture_sample(d, {"src0": 0.0}, 100)
+
+
+def test_mixture_sample_huge_budget_keeps_all_tokenful_docs(spark):
+    d = _docs(spark)
+    out = CU.mixture_sample(d, {"src6": 1.0}, 10**9)
+    n_src6 = d.where("source = 'src6'").count()
+    assert out.count() == n_src6  # corpus docs all have >= 1 token
