@@ -831,6 +831,23 @@ def q_chunk_documents(spark, sf_dir):
     return CHK.chunk_documents(d, CHUNK_TOKENS, CHUNK_STRIDE)
 
 
+DEDUP_LINES_MIN_DOCS = 3
+
+
+def q_dedup_lines(spark, sf_dir):
+    """Boilerplate-line removal (curation.dedup_lines): flatten each
+    conversation into a role-tagged document, then strip every line that
+    appears in >= 3 distinct conversations (template greetings / canned
+    tool banners) and rebuild the survivors in turn order. Lines move
+    through the frequency aggregate and the flag join as fixed 32-byte md5
+    keys, never as text."""
+    t = load_transcripts(spark, sf_dir)
+    docs = CTX.flatten_conversations(t).select("conv_id", "doc")
+    return CU.dedup_lines(
+        docs, DEDUP_LINES_MIN_DOCS, id_col="conv_id", text_col="doc"
+    )
+
+
 def q_bm25_rank(spark, sf_dir):
     """BM25 top-20 against a seed query (targeted corpus selection): term
     filter inside the token array before the explode, tiny df/corpus stats
@@ -1622,6 +1639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_funnel": q_pipeline_funnel,
         "mixture_sample": q_mixture_sample,
         "chunk_documents": q_chunk_documents,
+        "dedup_lines": q_dedup_lines,
     }
 
 
@@ -2392,6 +2410,27 @@ SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx,
                   ' ') AS chunk_text,
   CAST(least(64, n - (i - 1) * 48) AS BIGINT) AS n_tokens
 FROM nz CROSS JOIN unnest(generate_series(1, CAST(ceil(n / 48.0) AS BIGINT))) AS u(i)"""
+        ),
+        "dedup_lines": (
+            _CTE
+            + """, lines AS (
+  SELECT conv_id, turn_idx,
+    coalesce(role, '') || ': ' || coalesce(text, '') AS line
+  FROM transcripts
+), freq AS (
+  SELECT line FROM lines GROUP BY line
+  HAVING count(DISTINCT conv_id) >= 3
+), flagged AS (
+  SELECT l.conv_id, l.turn_idx, l.line, (f.line IS NOT NULL) AS boiler
+  FROM lines l LEFT JOIN freq f USING (line)
+)
+SELECT conv_id AS doc_id,
+  string_agg(line, chr(10) ORDER BY turn_idx)
+    FILTER (WHERE NOT boiler) AS text,
+  count(*) FILTER (WHERE NOT boiler) AS n_lines_kept,
+  count(*) FILTER (WHERE boiler) AS n_lines_removed
+FROM flagged GROUP BY conv_id
+HAVING count(*) FILTER (WHERE NOT boiler) > 0"""
         ),
         # minhash_lsh_dups / simhash / fingerprint / ann_topk_lsh: hash- or
         # signature-based (not ANSI-SQL-expressible) -> driver rows-only check.

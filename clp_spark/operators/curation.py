@@ -40,6 +40,7 @@ __all__ = [
     "hash_split",
     "stratified_sample",
     "mixture_sample",
+    "dedup_lines",
     "topk_per_group",
     "token_vocab",
     "word_ngrams",
@@ -264,6 +265,79 @@ def mixture_sample(
 
     cols = ["doc_id", "source", "n_tokens"]
     return kept_full.select(*cols).unionByName(kept_boundary.select(*cols))
+
+
+def dedup_lines(
+    df: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Boilerplate-line removal (the CCNet/RefinedWeb line-dedup step):
+    drop every line that occurs — byte-identical — in >= min_docs DISTINCT
+    documents, rebuild each document from its surviving lines in original
+    order, and drop documents left with no lines.
+
+    -> (doc_id, text, n_lines_kept, n_lines_removed). Deterministic: the
+    kept set depends only on (corpus, min_docs), never on partitioning.
+
+    Scale shape (10^12-doc regime): lines are keyed by md5 for the
+    frequency aggregate and the flag join, so long boilerplate (navigation
+    blocks, license headers) ships as a fixed 32-byte key, never as text;
+    128 bits keeps collisions negligible at any corpus size (a 64-bit key
+    would see thousands of collisions at 10^12 distinct lines) and is
+    computable identically in any engine, which keeps the operator
+    oracle-portable. Three shuffles total: the distinct(line, doc) +
+    count frequency aggregate, the flag join back (AQE broadcasts it when
+    the boilerplate set is small), and the per-document reassembly
+    groupBy. Line order is restored map-side via sort_array over
+    (line_idx, line) structs after the reassembly shuffle — no global
+    sort. Frequent-line counting uses DISTINCT documents, not occurrences,
+    so a single document repeating its own line never self-boilerplates.
+    """
+    import re as _re
+
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2")
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep), -1)).alias(
+            "_i", "_line"
+        ),
+    ).withColumn("_k", F.md5("_line"))
+    boiler = (
+        lines.select("_k", "doc_id")
+        .distinct()
+        .groupBy("_k")
+        .agg(F.count("*").alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("_k", F.lit(True).alias("_boiler"))
+    )
+    flagged = lines.join(boiler, "_k", "left")
+    kept = F.coalesce(F.col("_boiler"), F.lit(False)) == F.lit(False)
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        # when() yields NULL for boilerplate lines and
+                        # collect_list skips NULLs — the filter costs no
+                        # extra pass.
+                        F.collect_list(
+                            F.when(kept, F.struct("_i", "_line"))
+                        )
+                    ),
+                    lambda s: s["_line"],
+                ),
+                sep,
+            ).alias("text"),
+            F.sum(kept.cast("long")).alias("n_lines_kept"),
+            F.sum((~kept).cast("long")).alias("n_lines_removed"),
+        )
+        .where(F.col("n_lines_kept") > 0)
+    )
 
 
 def topk_per_group(

@@ -440,3 +440,101 @@ def test_mixture_sample_huge_budget_keeps_all_tokenful_docs(spark):
     out = CU.mixture_sample(d, {"src6": 1.0}, 10**9)
     n_src6 = d.where("source = 'src6'").count()
     assert out.count() == n_src6  # corpus docs all have >= 1 token
+
+
+# -------------------------------------------------------------- dedup_lines --
+
+
+def _linedocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_lines_hand_computed(spark):
+    d = _linedocs(
+        spark,
+        [
+            (1, "COPYRIGHT\nalpha one\nbeta two"),
+            (2, "COPYRIGHT\ngamma three"),
+            (3, "COPYRIGHT\nCOPYRIGHT"),  # all-boilerplate doc -> dropped
+            (4, "delta four"),
+        ],
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["n_lines_kept"], r["n_lines_removed"])
+        for r in CU.dedup_lines(d, min_docs=2).collect()
+    }
+    assert out == {
+        1: ("alpha one\nbeta two", 2, 1),
+        2: ("gamma three", 1, 1),
+        4: ("delta four", 1, 0),
+    }
+
+
+def test_dedup_lines_self_repetition_not_boilerplate(spark):
+    """Frequency is DISTINCT documents: a doc repeating its own line keeps
+    every copy."""
+    d = _linedocs(spark, [(1, "same\nsame\nsame"), (2, "other line")])
+    out = {r["doc_id"]: r["text"] for r in CU.dedup_lines(d, 2).collect()}
+    assert out == {1: "same\nsame\nsame", 2: "other line"}
+
+
+def test_dedup_lines_preserves_order_and_blank_lines(spark):
+    d = _linedocs(spark, [(1, "a\n\nb\n\nc"), (2, "\nz"), (3, "q\n")])
+    # blank line occurs in all three docs -> boilerplate at min_docs=3
+    out = {r["doc_id"]: tuple(r[1:]) for r in CU.dedup_lines(d, 3).collect()}
+    assert out == {1: ("a\nb\nc", 3, 2), 2: ("z", 1, 1), 3: ("q", 1, 1)}
+
+
+def test_dedup_lines_partitioning_independent(spark):
+    from clp_spark.sources.transcripts import load_transcripts
+    from clp_spark.operators import context as CTX
+
+    t = load_transcripts(spark, SF_DIR)
+    docs = CTX.flatten_conversations(t).select("conv_id", "doc")
+    a = {
+        tuple(r)
+        for r in CU.dedup_lines(
+            docs, 3, id_col="conv_id", text_col="doc"
+        ).collect()
+    }
+    b = {
+        tuple(r)
+        for r in CU.dedup_lines(
+            docs.repartition(13), 3, id_col="conv_id", text_col="doc"
+        ).collect()
+    }
+    assert a == b and a
+
+
+def test_dedup_lines_matches_python_recompute(spark):
+    from clp_spark.sources.transcripts import load_transcripts
+    from clp_spark.operators import context as CTX
+
+    t = load_transcripts(spark, SF_DIR)
+    docs = CTX.flatten_conversations(t).select("conv_id", "doc")
+    rows = {r["conv_id"]: r["doc"] for r in docs.collect()}
+    from collections import Counter
+
+    nd = Counter()
+    for doc in rows.values():
+        for line in set(doc.split("\n")):
+            nd[line] += 1
+    boiler = {l for l, c in nd.items() if c >= 3}
+    expect = {}
+    for cid, doc in rows.items():
+        kept = [l for l in doc.split("\n") if l not in boiler]
+        removed = len(doc.split("\n")) - len(kept)
+        if kept:
+            expect[cid] = ("\n".join(kept), len(kept), removed)
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines_kept"], r["n_lines_removed"])
+        for r in CU.dedup_lines(docs, 3, id_col="conv_id", text_col="doc").collect()
+    }
+    assert got == expect and any(v[2] for v in got.values())
+
+
+def test_dedup_lines_min_docs_validation(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        CU.dedup_lines(_linedocs(spark, [(1, "x")]), min_docs=1)
