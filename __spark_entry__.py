@@ -38,6 +38,7 @@ from clp_spark.operators import context as CTX
 from clp_spark.operators import quantize as QZ
 from clp_spark.operators import cluster as CL
 from clp_spark.operators import sessionize as SESS
+from clp_spark.operators import sketch as SK
 from clp_spark.operators import similarity as SIM
 from clp_spark.sources.transcripts import (
     DIM_ROLE_SQL,
@@ -832,6 +833,76 @@ def q_chunk_documents(spark, sf_dir):
 
 
 DEDUP_LINES_MIN_DOCS = 3
+SKETCH_CAPACITY = 4096
+SKETCH_PRESSURE_CAPACITY = 8  # < vocab size, forces decrements in the check
+SKETCH_K = 20
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Misra-Gries heavy hitters (operators/sketch.py): top-20 tokens with
+    bounded per-partition state (capacity counters) and an exact
+    undercount bound returned with the result. At capacity 4096 this
+    corpus's vocabulary fits every partition summary, so no decrement ever
+    fires and the sketch equals the exact count with max_undercount = 0 —
+    which is what makes this row oracle-checkable; the under-pressure
+    bounds live in the ok_sketch invariant bit."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return SK.heavy_hitters(d, capacity=SKETCH_CAPACITY, k=SKETCH_K)
+
+
+def q_sketch_check(spark, sf_dir):
+    """Sketch guarantees under decrement pressure (capacity 8 << vocab):
+    est <= true, true - est <= max_undercount, and every token with
+    true > max_undercount present. Output: ok_sketch = 1."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sk = SK.heavy_hitters(d, capacity=SKETCH_PRESSURE_CAPACITY, k=None)
+    exact = (
+        d.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower("text"), "[^a-z0-9]+"),
+                    lambda t: t != F.lit(""),
+                )
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("true_cnt"))
+    )
+    # one scalar undercount bound (identical on every sketch row, and the
+    # bound against which BOTH guarantees are judged) broadcast to the join
+    err = sk.agg(
+        F.coalesce(F.max("max_undercount"), F.lit(0)).alias("_err")
+    )
+    j = (
+        exact.join(sk.select("token", "est_count"), "token", "left")
+        .crossJoin(F.broadcast(err))
+    )
+    bad = j.agg(
+        F.sum(
+            F.when(
+                F.col("est_count").isNotNull()
+                & (
+                    (F.col("est_count") > F.col("true_cnt"))
+                    | (F.col("true_cnt") - F.col("est_count") > F.col("_err"))
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("n_bound_viol"),
+        F.sum(
+            F.when(
+                F.col("est_count").isNull()
+                & (F.col("true_cnt") > F.col("_err")),
+                1,
+            ).otherwise(0)
+        ).alias("n_missing"),
+    )
+    return bad.select(
+        F.when(
+            (F.col("n_bound_viol") == 0) & (F.col("n_missing") == 0), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("ok_sketch")
+    )
 
 
 def q_dedup_lines(spark, sf_dir):
@@ -1063,7 +1134,8 @@ def q_operator_invariants(spark, sf_dir):
     """All signature-operator invariants as ONE oracle-checked row
     (missed=0, diff=0, bad=0, violations=0, ok=1, ok_ivf=1, ok_clusters=1,
     ok_pack=1, ok_pca=1, ok_fmtfloat=1, ok_epoch_prune=1, ok_bpe=1,
-    ok_resize=1, ok_semdedup=1) — the same proofs as the individual
+    ok_resize=1, ok_semdedup=1, ok_sketch=1) — the same proofs as the
+    individual
     q_*_check queries
     (still defined above and pytest-run), but occupying one slot of the
     driver's 50-row correctness window so the freed slots go to
@@ -1083,6 +1155,7 @@ def q_operator_invariants(spark, sf_dir):
         .crossJoin(q_bpe_check(spark, sf_dir))
         .crossJoin(q_resize_check(spark, sf_dir))
         .crossJoin(q_semdedup_check(spark, sf_dir))
+        .crossJoin(q_sketch_check(spark, sf_dir))
     )
     return row
 
@@ -1640,6 +1713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "chunk_documents": q_chunk_documents,
         "dedup_lines": q_dedup_lines,
+        "heavy_hitters": q_heavy_hitters,
     }
 
 
@@ -2279,7 +2353,7 @@ SELECT vec_id, nbr_id, rank, sim FROM ranked WHERE rank <= 5"""
             "cast(0 as bigint) AS bad, cast(0 as bigint) AS violations, "
             "1 AS ok, 1 AS ok_ivf, 1 AS ok_clusters, 1 AS ok_pack, 1 AS ok_pca, "
             "1 AS ok_fmtfloat, 1 AS ok_epoch_prune, 1 AS ok_bpe, 1 AS ok_resize, "
-            "1 AS ok_semdedup"
+            "1 AS ok_semdedup, 1 AS ok_sketch"
         ),
         "asof_enrich": (
             """WITH dim AS (
@@ -2431,6 +2505,15 @@ SELECT conv_id AS doc_id,
   count(*) FILTER (WHERE boiler) AS n_lines_removed
 FROM flagged GROUP BY conv_id
 HAVING count(*) FILTER (WHERE NOT boiler) > 0"""
+        ),
+        "heavy_hitters": (
+            """WITH tok AS (
+  SELECT unnest(list_filter(
+    regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS token
+  FROM documents
+)
+SELECT token, count(*) AS est_count, CAST(0 AS BIGINT) AS max_undercount
+FROM tok GROUP BY token ORDER BY est_count DESC, token LIMIT 20"""
         ),
         # minhash_lsh_dups / simhash / fingerprint / ann_topk_lsh: hash- or
         # signature-based (not ANSI-SQL-expressible) -> driver rows-only check.

@@ -1,0 +1,112 @@
+"""Bounded-memory frequency sketching: Misra-Gries heavy hitters over the
+token stream.
+
+No counterpart in the reference repo (CLP's aggregations are exact);
+training-data-pipeline extension mandate, same as operators/curation.py.
+
+Why a sketch when `groupBy(token).count()` exists: exact counting's
+map-side combine holds one counter per DISTINCT token per partition — on
+web text at 10^12-document scale the long tail (urls, hashes, typos) makes
+that set effectively unbounded, so the combine spills and the shuffle
+carries the whole tail just to find the head. A Misra-Gries summary caps
+executor state at `capacity` counters per partition no matter how heavy
+the tail, and the merge shuffles at most partitions x capacity rows total.
+The price is a one-sided error: reported counts undercount by at most the
+summary's total decrement, which the operator tracks EXACTLY and returns
+with the result — every token whose true count exceeds that bound is
+guaranteed present (the classic MG guarantee, with error <= n/capacity in
+the worst case).
+
+Plan shape: one mapInPandas pass emits each partition's (token, count)
+summary plus one null-token row carrying that partition's decrement total;
+a tiny exact aggregate over the summaries (<= partitions x capacity rows)
+merges them. Inside the UDF, tokenization is pandas-vectorized
+(str.findall + explode + value_counts); the decrement step is the batched
+variant — subtract the (capacity+1)-th largest count from every counter
+and drop the non-positive — which preserves the per-token undercount
+bound (each step lowers any single counter by at most the subtracted
+value, which is exactly what gets added to the tracked total).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["heavy_hitters"]
+
+# the lowercased-alnum token rule shared with curation.token_vocab, so
+# sketch output is comparable with the exact vocabulary counts.
+_TOKEN_RE = r"[a-z0-9]+"
+
+
+def heavy_hitters(
+    df: DataFrame,
+    capacity: int = 4096,
+    k: int | None = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (token, est_count, max_undercount): the top-k tokens by estimated
+    count (all surviving tokens when k is None), where for every token
+    `true - max_undercount <= est_count <= true`, and every token whose
+    true count exceeds max_undercount is guaranteed to appear.
+    max_undercount is the EXACT total decrement across all partition
+    summaries (0 when no partition ever exceeded capacity — then the
+    result equals the exact count), identical on every row.
+
+    est_count (and hence which ties enter a top-k) depends on how rows are
+    partitioned — inherent to any per-partition summary. The bounds above
+    hold for EVERY partitioning; pin partitioning for bit-reproducibility.
+    """
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+
+    def summarize(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cnt: Counter = Counter()
+        decremented = 0
+        for pdf in batches:
+            toks = (
+                pdf[text_col]
+                .astype(str)
+                .str.lower()
+                .str.findall(_TOKEN_RE)
+                .explode()
+                .dropna()
+            )
+            if len(toks):
+                cnt.update(toks.value_counts().to_dict())
+            if len(cnt) > capacity:
+                vals = sorted(cnt.values(), reverse=True)
+                d = vals[capacity]
+                if d:
+                    for t in list(cnt):
+                        nv = cnt[t] - d
+                        if nv > 0:
+                            cnt[t] = nv
+                        else:
+                            del cnt[t]
+                    decremented += d
+        yield pd.DataFrame(
+            {
+                "token": list(cnt) + [None],
+                "cnt": list(cnt.values()) + [decremented],
+            }
+        )
+
+    partials = df.select(text_col).mapInPandas(summarize, "token string, cnt long")
+    err = partials.where(F.col("token").isNull()).agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("max_undercount")
+    )
+    agg = (
+        partials.where(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("est_count"))
+    )
+    if k is not None:
+        agg = agg.orderBy(F.desc("est_count"), "token").limit(k)
+    return agg.crossJoin(F.broadcast(err))
