@@ -919,6 +919,20 @@ def q_dedup_lines(spark, sf_dir):
     )
 
 
+ORDER_SHARDS = 8
+
+
+def q_training_order(spark, sf_dir):
+    """Deterministic resumable training order (curation.training_order):
+    every document gets a (shard_id, pos) cursor — salted-hash shard, hash
+    order within shard — reproducible from the spec alone, independent of
+    partitioning and cluster width. One shuffle (the per-shard window)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return CU.training_order(d, ORDER_SHARDS).select(
+        "doc_id", "shard_id", "pos"
+    )
+
+
 def q_bm25_rank(spark, sf_dir):
     """BM25 top-20 against a seed query (targeted corpus selection): term
     filter inside the token array before the explode, tiny df/corpus stats
@@ -1714,6 +1728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "dedup_lines": q_dedup_lines,
         "heavy_hitters": q_heavy_hitters,
+        "training_order": q_training_order,
     }
 
 
@@ -2514,6 +2529,18 @@ HAVING count(*) FILTER (WHERE NOT boiler) > 0"""
 )
 SELECT token, count(*) AS est_count, CAST(0 AS BIGINT) AS max_undercount
 FROM tok GROUP BY token ORDER BY est_count DESC, token LIMIT 20"""
+        ),
+        "training_order": (
+            """WITH h AS (
+  SELECT doc_id, md5('order:' || CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents
+)
+SELECT doc_id,
+  CAST(CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) % 8 AS INT) AS shard_id,
+  CAST(row_number() OVER (
+    PARTITION BY CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) % 8
+    ORDER BY hx, doc_id) - 1 AS BIGINT) AS pos
+FROM h"""
         ),
         # minhash_lsh_dups / simhash / fingerprint / ann_topk_lsh: hash- or
         # signature-based (not ANSI-SQL-expressible) -> driver rows-only check.

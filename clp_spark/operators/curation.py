@@ -41,6 +41,7 @@ __all__ = [
     "stratified_sample",
     "mixture_sample",
     "dedup_lines",
+    "training_order",
     "topk_per_group",
     "token_vocab",
     "word_ngrams",
@@ -337,6 +338,48 @@ def dedup_lines(
             F.sum((~kept).cast("long")).alias("n_lines_removed"),
         )
         .where(F.col("n_lines_kept") > 0)
+    )
+
+
+def training_order(
+    df: DataFrame,
+    n_shards: int = 1024,
+    id_col: str = "doc_id",
+    salt: str = "order:",
+) -> DataFrame:
+    """Deterministic global training order: assign every document a
+    (shard_id, pos) cursor — shard by a salted-hash bucket, position by
+    hash order within the shard — the resumable-shuffle step before
+    export (a training loop reads shards in id order and can restart from
+    any (shard_id, pos) without re-shuffling).
+
+    Reproducible from the spec alone (salt, n_shards): no RNG state, no
+    partitioning or cluster-size dependence — the hash_split salting
+    discipline ('order:' keeps the permutation independent of the sample/
+    split/mix bucketings). Re-salting yields an independent permutation
+    (epoch reshuffle: salt=f'order:{epoch}:').
+
+    Scale shape: ONE shuffle (the per-shard row_number window). Each shard
+    serializes into a single task by construction — that is the point
+    (a shard is one sequentially-read training stream) — so choose
+    n_shards >> executor count and rows-per-shard ~ n/n_shards bounds the
+    task. The shard key uses 8 md5 hex digits (32 bits), so modulo bias at
+    n_shards <= 2^16 is < 0.002%.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    from pyspark.sql import Window
+
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards
+    ).cast("int")
+    w = Window.partitionBy("shard_id").orderBy("_h", id_col)
+    return (
+        df.withColumn("shard_id", shard)
+        .withColumn("_h", h)
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("_h")
     )
 
 

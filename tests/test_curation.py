@@ -538,3 +538,56 @@ def test_dedup_lines_min_docs_validation(spark):
 
     with _pytest.raises(ValueError):
         CU.dedup_lines(_linedocs(spark, [(1, "x")]), min_docs=1)
+
+
+# ----------------------------------------------------------- training_order --
+
+
+def test_training_order_is_a_permutation(spark):
+    d = _docs(spark)
+    out = CU.training_order(d, n_shards=16).collect()
+    assert len(out) == d.count()
+    # (shard, pos) pairs unique; pos contiguous from 0 within each shard
+    cursors = {}
+    for r in out:
+        cursors.setdefault(r["shard_id"], []).append(r["pos"])
+    for shard, ps in cursors.items():
+        assert 0 <= shard < 16
+        assert sorted(ps) == list(range(len(ps)))
+
+
+def test_training_order_matches_python_recompute(spark):
+    import hashlib
+
+    d = _docs(spark)
+    got = {
+        r["doc_id"]: (r["shard_id"], r["pos"])
+        for r in CU.training_order(d, n_shards=8).collect()
+    }
+    by_shard = {}
+    for r in d.select("doc_id").collect():
+        h = hashlib.md5(f"order:{r['doc_id']}".encode()).hexdigest()
+        by_shard.setdefault(int(h[:8], 16) % 8, []).append((h, r["doc_id"]))
+    want = {}
+    for shard, docs in by_shard.items():
+        for pos, (h, doc_id) in enumerate(sorted(docs)):
+            want[doc_id] = (shard, pos)
+    assert got == want
+
+
+def test_training_order_partitioning_independent_and_resalting(spark):
+    d = _docs(spark)
+    a = {tuple(r) for r in CU.training_order(d, 8).collect()}
+    b = {tuple(r) for r in CU.training_order(d.repartition(11), 8).collect()}
+    assert a == b
+    epoch2 = {
+        r["doc_id"]: (r["shard_id"], r["pos"])
+        for r in CU.training_order(d, 8, salt="order:2:").collect()
+    }
+    base = {r["doc_id"]: (r["shard_id"], r["pos"]) for r in CU.training_order(d, 8).collect()}
+    assert epoch2 != base  # a new epoch salt reshuffles
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        CU.training_order(d, 0)
