@@ -186,6 +186,12 @@ def mixture_sample(
     boundary-bucket window; the bucket decision table is broadcast. The
     result is row-for-row identical to the naive single-window rule (which
     is exactly what the DuckDB oracle runs).
+
+    Two scans, priced asymmetrically: the level-1 aggregate must tokenize
+    every row (it needs the sums), but the second scan joins the RAW rows
+    to the broadcast bucket decisions on the cheap md5-prefix key FIRST
+    and tokenizes only survivors — for a budget that keeps fraction f of
+    the corpus, scan 2 tokenizes ~f of it, not all of it.
     """
     from pyspark.sql import Window
 
@@ -203,17 +209,17 @@ def mixture_sample(
         )
 
     h = F.md5(F.concat(F.lit("mix:"), F.col(id_col).cast("string")))
-    base = (
-        df.where(F.col(source_col).isin(*budgets))
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.col(source_col).alias("source"),
-            F.size(_tokens(text_col)).cast("long").alias("n_tokens"),
-            h.alias("_h"),
-            budget_expr.alias("_budget"),
-        )
-        .withColumn("_bucket", F.substring("_h", 1, 2))
-        .where(F.col("n_tokens") > 0)
+    n_tok = F.size(_tokens(text_col)).cast("long")
+    raw = df.where(F.col(source_col).isin(*budgets)).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.col(text_col),
+        h.alias("_h"),
+        budget_expr.alias("_budget"),
+        F.substring(h, 1, 2).alias("_bucket"),
+    )
+    base = raw.withColumn("n_tokens", n_tok).where(
+        F.col("n_tokens") > 0
     )
 
     # level 1: per-(source, bucket) token totals + exclusive running sum in
@@ -245,8 +251,12 @@ def mixture_sample(
         .where(F.col("_full") | F.col("_boundary"))
     )
 
-    joined = base.join(
-        F.broadcast(buckets), on=["source", "_bucket"], how="inner"
+    # scan 2: prune on the broadcast bucket decisions BEFORE tokenizing —
+    # only rows in kept-whole or boundary buckets pay the tokenizer.
+    joined = (
+        raw.join(F.broadcast(buckets), on=["source", "_bucket"], how="inner")
+        .withColumn("n_tokens", n_tok)
+        .where(F.col("n_tokens") > 0)
     )
     kept_full = joined.where(F.col("_full"))
 
