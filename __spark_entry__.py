@@ -922,6 +922,44 @@ def q_dedup_lines(spark, sf_dir):
 ORDER_SHARDS = 8
 
 
+def q_sft_funnel(spark, sf_dir):
+    """SFT data-prep funnel composed from the shipped operators —
+    transcripts -> role-tagged conversation docs (flatten_conversations)
+    -> boilerplate-line removal (dedup_lines) — reported as per-stage
+    survivor counts plus removed-line and surviving-token totals. The
+    transcripts-side analogue of pipeline_funnel: the chained semantics,
+    not just each operator alone, are parity-checked."""
+    t = load_transcripts(spark, sf_dir)
+    docs = CTX.flatten_conversations(t).select("conv_id", "doc")
+    dl = CU.dedup_lines(
+        docs, DEDUP_LINES_MIN_DOCS, id_col="conv_id", text_col="doc"
+    )
+    n_tok = F.size(
+        F.filter(
+            F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != F.lit("")
+        )
+    ).cast("long")
+
+    def stage(name, agg_df):
+        return agg_df.select(F.lit(name).alias("stage"), "n")
+
+    return (
+        stage("0_turns", t.agg(F.count("*").alias("n")))
+        .unionByName(
+            stage("1_conversations", docs.agg(F.count("*").alias("n")))
+        )
+        .unionByName(
+            stage("2_docs_after_line_dedup", dl.agg(F.count("*").alias("n")))
+        )
+        .unionByName(
+            stage("3_lines_removed", dl.agg(F.sum("n_lines_removed").alias("n")))
+        )
+        .unionByName(
+            stage("4_tokens_total", dl.agg(F.sum(n_tok).alias("n")))
+        )
+    )
+
+
 def q_training_order(spark, sf_dir):
     """Deterministic resumable training order (curation.training_order):
     every document gets a (shard_id, pos) cursor — salted-hash shard, hash
@@ -1729,6 +1767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "heavy_hitters": q_heavy_hitters,
         "training_order": q_training_order,
+        "sft_funnel": q_sft_funnel,
     }
 
 
@@ -2541,6 +2580,34 @@ SELECT doc_id,
     PARTITION BY CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) % 8
     ORDER BY hx, doc_id) - 1 AS BIGINT) AS pos
 FROM h"""
+        ),
+        "sft_funnel": (
+            _CTE
+            + """, lines AS (
+  SELECT conv_id, turn_idx,
+    coalesce(role, '') || ': ' || coalesce(text, '') AS line
+  FROM transcripts
+), freq AS (
+  SELECT line FROM lines GROUP BY line
+  HAVING count(DISTINCT conv_id) >= 3
+), flagged AS (
+  SELECT l.conv_id, l.turn_idx, l.line, (f.line IS NOT NULL) AS boiler
+  FROM lines l LEFT JOIN freq f USING (line)
+), dl AS (
+  SELECT conv_id,
+    string_agg(line, chr(10) ORDER BY turn_idx)
+      FILTER (WHERE NOT boiler) AS text,
+    count(*) FILTER (WHERE boiler) AS n_lines_removed
+  FROM flagged GROUP BY conv_id
+  HAVING count(*) FILTER (WHERE NOT boiler) > 0
+)
+SELECT '0_turns' AS stage, count(*) AS n FROM transcripts
+UNION ALL SELECT '1_conversations', count(DISTINCT conv_id) FROM transcripts
+UNION ALL SELECT '2_docs_after_line_dedup', count(*) FROM dl
+UNION ALL SELECT '3_lines_removed', CAST(sum(n_lines_removed) AS BIGINT) FROM dl
+UNION ALL SELECT '4_tokens_total', CAST(sum(len(list_filter(
+  regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> ''))) AS BIGINT)
+FROM dl"""
         ),
         # minhash_lsh_dups / simhash / fingerprint / ann_topk_lsh: hash- or
         # signature-based (not ANSI-SQL-expressible) -> driver rows-only check.

@@ -72,6 +72,8 @@ def heavy_hitters(
         for pdf in batches:
             toks = (
                 pdf[text_col]
+                .fillna("")  # NULL text contributes no tokens (astype(str)
+                # alone would mint literal "none" tokens)
                 .astype(str)
                 .str.lower()
                 .str.findall(_TOKEN_RE)

@@ -81,3 +81,11 @@ def test_summary_rows_bounded_by_partitions_times_capacity(spark):
     cap = 8
     n = heavy_hitters(d, capacity=cap, k=None).count()
     assert n <= 7 * cap
+
+
+def test_null_text_contributes_no_tokens(spark):
+    d = spark.createDataFrame(
+        [(1, "alpha beta"), (2, None), (3, "beta")], "doc_id long, text string"
+    )
+    got = {r["token"]: r["est_count"] for r in heavy_hitters(d, 16, k=None).collect()}
+    assert got == {"alpha": 1, "beta": 2}
