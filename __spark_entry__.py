@@ -852,12 +852,18 @@ def q_heavy_hitters(spark, sf_dir):
 
 def q_sketch_check(spark, sf_dir):
     """Sketch guarantees under decrement pressure (capacity 8 << vocab):
-    est <= true, true - est <= max_undercount, and every token with
-    true > max_undercount present. Output: ok_sketch = 1."""
+    est <= true, true - est <= bound, and every token with true > bound
+    present. Uses SK.summaries (the pre-presentation merge, whose
+    null-token row carries the bound even if every counter were wiped) and
+    judges the tiny collected results driver-side, the q_pca_check style —
+    two corpus scans total (sketch + exact). Output: ok_sketch = 1."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sk = SK.heavy_hitters(d, capacity=SKETCH_PRESSURE_CAPACITY, k=None)
-    exact = (
-        d.select(
+    merged = SK.summaries(d, capacity=SKETCH_PRESSURE_CAPACITY).collect()
+    err = sum(r["est_count"] for r in merged if r["token"] is None)
+    got = {r["token"]: r["est_count"] for r in merged if r["token"] is not None}
+    exact = {
+        r["token"]: r["true_cnt"]
+        for r in d.select(
             F.explode(
                 F.filter(
                     F.split(F.lower("text"), "[^a-z0-9]+"),
@@ -867,42 +873,17 @@ def q_sketch_check(spark, sf_dir):
         )
         .groupBy("token")
         .agg(F.count("*").alias("true_cnt"))
-    )
-    # one scalar undercount bound (identical on every sketch row, and the
-    # bound against which BOTH guarantees are judged) broadcast to the join
-    err = sk.agg(
-        F.coalesce(F.max("max_undercount"), F.lit(0)).alias("_err")
-    )
-    j = (
-        exact.join(sk.select("token", "est_count"), "token", "left")
-        .crossJoin(F.broadcast(err))
-    )
-    bad = j.agg(
-        F.sum(
-            F.when(
-                F.col("est_count").isNotNull()
-                & (
-                    (F.col("est_count") > F.col("true_cnt"))
-                    | (F.col("true_cnt") - F.col("est_count") > F.col("_err"))
-                ),
-                1,
-            ).otherwise(0)
-        ).alias("n_bound_viol"),
-        F.sum(
-            F.when(
-                F.col("est_count").isNull()
-                & (F.col("true_cnt") > F.col("_err")),
-                1,
-            ).otherwise(0)
-        ).alias("n_missing"),
-    )
-    return bad.select(
-        F.when(
-            (F.col("n_bound_viol") == 0) & (F.col("n_missing") == 0), F.lit(1)
+        .collect()
+    }
+    ok = (
+        err > 0  # capacity < vocab: the check must see real pressure
+        and all(
+            est <= exact[t] and exact[t] - est <= err
+            for t, est in got.items()
         )
-        .otherwise(F.lit(0))
-        .alias("ok_sketch")
+        and all(t in got for t, true in exact.items() if true > err)
     )
+    return spark.createDataFrame([(int(ok),)], "ok_sketch int")
 
 
 def q_dedup_lines(spark, sf_dir):
@@ -943,20 +924,39 @@ def q_sft_funnel(spark, sf_dir):
     def stage(name, agg_df):
         return agg_df.select(F.lit(name).alias("stage"), "n")
 
+    # stages 2-4 all aggregate the SAME dataframe: ONE dl.agg pass reshaped
+    # into stage rows, so the flatten + dedup_lines pipeline runs once, not
+    # three times (each union branch is otherwise an independent subplan —
+    # column pruning defeats ReusedExchange).
+    dl_stages = dl.agg(
+        F.count("*").alias("_c"),
+        F.sum("n_lines_removed").alias("_r"),
+        F.sum(n_tok).alias("_t"),
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("2_docs_after_line_dedup").alias("stage"),
+                    F.col("_c").alias("n"),
+                ),
+                F.struct(
+                    F.lit("3_lines_removed").alias("stage"),
+                    F.col("_r").alias("n"),
+                ),
+                F.struct(
+                    F.lit("4_tokens_total").alias("stage"),
+                    F.col("_t").alias("n"),
+                ),
+            )
+        ).alias("_s")
+    ).select("_s.stage", "_s.n")
+
     return (
         stage("0_turns", t.agg(F.count("*").alias("n")))
         .unionByName(
             stage("1_conversations", docs.agg(F.count("*").alias("n")))
         )
-        .unionByName(
-            stage("2_docs_after_line_dedup", dl.agg(F.count("*").alias("n")))
-        )
-        .unionByName(
-            stage("3_lines_removed", dl.agg(F.sum("n_lines_removed").alias("n")))
-        )
-        .unionByName(
-            stage("4_tokens_total", dl.agg(F.sum(n_tok).alias("n")))
-        )
+        .unionByName(dl_stages)
     )
 
 
@@ -1192,24 +1192,41 @@ def q_operator_invariants(spark, sf_dir):
     (still defined above and pytest-run), but occupying one slot of the
     driver's 50-row correctness window so the freed slots go to
     oracle-bearing operator queries."""
-    row = (
-        q_lsh_superset_check(spark, sf_dir)
-        .crossJoin(q_simhash_neardup_check(spark, sf_dir))
-        .crossJoin(q_cosine_neardup_check(spark, sf_dir))
-        .crossJoin(q_signature_determinism_check(spark, sf_dir))
-        .crossJoin(q_ann_lsh_exactmatch_check(spark, sf_dir))
-        .crossJoin(q_ann_ivf_exactmatch_check(spark, sf_dir))
-        .crossJoin(q_clusters_lsh_parity_check(spark, sf_dir))
-        .crossJoin(q_packing_check(spark, sf_dir))
-        .crossJoin(q_pca_check(spark, sf_dir))
-        .crossJoin(q_fmtfloat_check(spark, sf_dir))
-        .crossJoin(q_epoch_prune_check(spark, sf_dir))
-        .crossJoin(q_bpe_check(spark, sf_dir))
-        .crossJoin(q_resize_check(spark, sf_dir))
-        .crossJoin(q_semdedup_check(spark, sf_dir))
-        .crossJoin(q_sketch_check(spark, sf_dir))
-    )
-    return row
+    # Each sub-check is a one-row frame; run them as separate jobs and
+    # assemble the row driver-side. (The previous 15-way crossJoin chain
+    # tipped Catalyst's join planning into a multi-minute stall at the
+    # 15th join — measured: 14 joins collect in 29 s, 15 never return in
+    # 9 min — and a chain of one-row nested-loop joins buys nothing over
+    # fifteen sub-second collects anyway.)
+    vals: dict = {}
+    for fn in (
+        q_lsh_superset_check,
+        q_simhash_neardup_check,
+        q_cosine_neardup_check,
+        q_signature_determinism_check,
+        q_ann_lsh_exactmatch_check,
+        q_ann_ivf_exactmatch_check,
+        q_clusters_lsh_parity_check,
+        q_packing_check,
+        q_pca_check,
+        q_fmtfloat_check,
+        q_epoch_prune_check,
+        q_bpe_check,
+        q_resize_check,
+        q_semdedup_check,
+        q_sketch_check,
+    ):
+        vals.update(fn(spark, sf_dir).collect()[0].asDict())
+    cols = [
+        ("missed", "long"), ("diff", "long"), ("bad", "long"),
+        ("violations", "long"), ("ok", "int"), ("ok_ivf", "int"),
+        ("ok_clusters", "int"), ("ok_pack", "int"), ("ok_pca", "int"),
+        ("ok_fmtfloat", "int"), ("ok_epoch_prune", "int"),
+        ("ok_bpe", "int"), ("ok_resize", "int"), ("ok_semdedup", "int"),
+        ("ok_sketch", "int"),
+    ]
+    schema = ", ".join(f"{c} {t}" for c, t in cols)
+    return spark.createDataFrame([tuple(vals[c] for c, _ in cols)], schema)
 
 
 def q_packing_check(spark, sf_dir):
@@ -2530,7 +2547,8 @@ SELECT doc_id, source, n_tokens FROM cum WHERE c < budget"""
         "chunk_documents": (
             r"""WITH toks AS (
   SELECT doc_id,
-    list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS ts
+    list_filter(regexp_split_to_array(text, '[ \t\n\r\f\x0B]+'),
+                t -> t <> '') AS ts
   FROM documents WHERE doc_id % 5 = 0
 ), nz AS (SELECT doc_id, ts, len(ts) AS n FROM toks WHERE len(ts) > 0)
 SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx,

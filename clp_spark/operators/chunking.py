@@ -26,10 +26,11 @@ __all__ = ["chunk_documents"]
 
 # whitespace tokenization (NOT the lowercased-alnum rule curation's
 # counting ops use): chunk text must preserve the original words so the
-# chunk remains readable/embeddable; DuckDB's regexp_split_to_array
-# evaluates the same pattern identically, keeping the operator
-# oracle-portable.
-_WS_RE = r"\s+"
+# chunk remains readable/embeddable. The class is spelled out rather than
+# written \s because the engines' \s disagree at the edge (Java's includes
+# vertical tab \x0B, RE2's — DuckDB — does not); the explicit ASCII class
+# evaluates identically in both, keeping the operator oracle-portable.
+_WS_RE = r"[ \t\n\r\f\x0B]+"
 
 
 def chunk_documents(

@@ -36,31 +36,22 @@ from typing import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["heavy_hitters"]
+__all__ = ["heavy_hitters", "summaries"]
 
 # the lowercased-alnum token rule shared with curation.token_vocab, so
 # sketch output is comparable with the exact vocabulary counts.
 _TOKEN_RE = r"[a-z0-9]+"
 
 
-def heavy_hitters(
-    df: DataFrame,
-    capacity: int = 4096,
-    k: int | None = 50,
-    text_col: str = "text",
+def summaries(
+    df: DataFrame, capacity: int = 4096, text_col: str = "text"
 ) -> DataFrame:
-    """-> (token, est_count, max_undercount): the top-k tokens by estimated
-    count (all surviving tokens when k is None), where for every token
-    `true - max_undercount <= est_count <= true`, and every token whose
-    true count exceeds max_undercount is guaranteed to appear.
-    max_undercount is the EXACT total decrement across all partition
-    summaries (0 when no partition ever exceeded capacity — then the
-    result equals the exact count), identical on every row.
-
-    est_count (and hence which ties enter a top-k) depends on how rows are
-    partitioned — inherent to any per-partition summary. The bounds above
-    hold for EVERY partitioning; pin partitioning for bit-reproducibility.
-    """
+    """The merged sketch BEFORE presentation: (token nullable, est_count).
+    One row per surviving token plus exactly one null-token row whose
+    est_count is the total decrement (the undercount bound) — present even
+    when every counter was wiped, so the bound is never lost. ONE corpus
+    scan; the merge aggregate runs over <= partitions x (capacity + 1)
+    rows."""
     if capacity < 1:
         raise ValueError("capacity must be >= 1")
 
@@ -101,14 +92,53 @@ def heavy_hitters(
         )
 
     partials = df.select(text_col).mapInPandas(summarize, "token string, cnt long")
-    err = partials.where(F.col("token").isNull()).agg(
-        F.coalesce(F.sum("cnt"), F.lit(0)).alias("max_undercount")
-    )
-    agg = (
-        partials.where(F.col("token").isNotNull())
-        .groupBy("token")
-        .agg(F.sum("cnt").alias("est_count"))
+    # the null-token decrement rows merge into ONE null-token group here,
+    # so the bound survives aggregation alongside the counts — one scan,
+    # no second pass for the error total.
+    return partials.groupBy("token").agg(F.sum("cnt").alias("est_count"))
+
+
+def heavy_hitters(
+    df: DataFrame,
+    capacity: int = 4096,
+    k: int | None = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (token, est_count, max_undercount): the top-k tokens by estimated
+    count (all surviving tokens when k is None), where for every token
+    `true - max_undercount <= est_count <= true`, and every token whose
+    true count exceeds max_undercount is guaranteed to appear.
+    max_undercount is the EXACT total decrement across all partition
+    summaries (0 when no partition ever exceeded capacity — then the
+    result equals the exact count), identical on every row.
+
+    est_count (and hence which ties enter a top-k) depends on how rows are
+    partitioned — inherent to any per-partition summary. The bounds above
+    hold for EVERY partitioning; pin partitioning for bit-reproducibility.
+
+    ONE corpus scan: the undercount bound is fanned onto every row by a
+    single-partition window over the merged summary (<= partitions x
+    capacity rows — deliberately tiny, which is why the all-rows window is
+    safe here). Edge: the result is empty iff every counter was wiped
+    (only possible when every token's true count <= the bound); use
+    summaries() when the bound itself must survive that regime.
+    """
+    merged = summaries(df, capacity, text_col)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    out = (
+        merged.withColumn(
+            "max_undercount",
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("token").isNull(), F.col("est_count"))
+                ).over(w),
+                F.lit(0),
+            ),
+        )
+        .where(F.col("token").isNotNull())
     )
     if k is not None:
-        agg = agg.orderBy(F.desc("est_count"), "token").limit(k)
-    return agg.crossJoin(F.broadcast(err))
+        out = out.orderBy(F.desc("est_count"), "token").limit(k)
+    return out

@@ -68,7 +68,9 @@ def test_nonoverlapping_chunks_reconstruct_document(spark):
         .collect()
     }
     for row in docs.collect():
-        norm = " ".join(re.split(r"\s+", row["text"].strip()))
+        norm = " ".join(
+            t for t in re.split("[ \t\n\r\f\x0b]+", row["text"]) if t
+        )
         if norm:
             assert rebuilt[row["doc_id"]] == norm
 
@@ -94,7 +96,10 @@ def test_fanout_row_count(spark):
     n_chunks = chunk_documents(docs, 32, 24).count()
     toks = docs.select(
         F.size(
-            F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
+            F.filter(
+                F.split("text", r"[ \t\n\r\f\x0B]+"),
+                lambda t: t != F.lit(""),
+            )
         ).alias("n")
     )
     expected = toks.where("n > 0").select(

@@ -89,3 +89,30 @@ def test_null_text_contributes_no_tokens(spark):
     )
     got = {r["token"]: r["est_count"] for r in heavy_hitters(d, 16, k=None).collect()}
     assert got == {"alpha": 1, "beta": 2}
+
+
+def test_single_scan_plan(spark):
+    """heavy_hitters reads the corpus ONCE: exactly one MapInPandas node in
+    the executed plan (the review found the old two-branch shape scanned
+    and tokenized everything twice)."""
+    plan = (
+        heavy_hitters(_docs(spark), capacity=8, k=None)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("MapInPandas") == 1
+
+
+def test_summaries_preserve_bound_when_all_counters_wiped(spark):
+    """capacity=1 over 'a b a b' in one partition: the decrement wipes both
+    counters, heavy_hitters is legitimately empty (no token's true count
+    exceeds the bound), but summaries() still reports the bound in its
+    null-token row."""
+    from clp_spark.operators.sketch import summaries
+
+    d = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string").coalesce(1)
+    assert heavy_hitters(d, capacity=1, k=None).count() == 0
+    rows = summaries(d, capacity=1).collect()
+    bounds = [r["est_count"] for r in rows if r["token"] is None]
+    assert bounds and sum(bounds) >= 2  # the wiped mass is still accounted
