@@ -36,7 +36,30 @@ from typing import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["heavy_hitters", "summaries"]
+__all__ = ["heavy_hitters", "summaries", "mg_trim"]
+
+
+def mg_trim(cnt: Counter, capacity: int) -> int:
+    """The Misra-Gries decrement step, shared by the batch and streaming
+    legs (this module and streaming/hot_keys.py) so the undercount
+    accounting can never desynchronize between them: if more than
+    `capacity` counters are held, subtract the (capacity+1)-th largest
+    value from every counter, drop the non-positive, and return the
+    subtracted amount (0 when no trim was needed). Each call lowers any
+    single counter by at most the returned value, which is exactly what
+    the caller adds to its tracked undercount total."""
+    if len(cnt) <= capacity:
+        return 0
+    d = sorted(cnt.values(), reverse=True)[capacity]
+    if not d:
+        return 0
+    for t in list(cnt):
+        nv = cnt[t] - d
+        if nv > 0:
+            cnt[t] = nv
+        else:
+            del cnt[t]
+    return d
 
 # the lowercased-alnum token rule shared with curation.token_vocab, so
 # sketch output is comparable with the exact vocabulary counts.
@@ -73,17 +96,7 @@ def summaries(
             )
             if len(toks):
                 cnt.update(toks.value_counts().to_dict())
-            if len(cnt) > capacity:
-                vals = sorted(cnt.values(), reverse=True)
-                d = vals[capacity]
-                if d:
-                    for t in list(cnt):
-                        nv = cnt[t] - d
-                        if nv > 0:
-                            cnt[t] = nv
-                        else:
-                            del cnt[t]
-                    decremented += d
+            decremented += mg_trim(cnt, capacity)
         yield pd.DataFrame(
             {
                 "token": list(cnt) + [None],

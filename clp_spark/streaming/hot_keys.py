@@ -45,6 +45,8 @@ from collections import Counter
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from clp_spark.operators.sketch import mg_trim
 from pyspark.sql.types import (
     ArrayType,
     LongType,
@@ -53,7 +55,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["hot_keys_stream", "latest_snapshot"]
+__all__ = ["hot_keys_stream", "latest_emissions", "latest_snapshot"]
 
 
 def hot_keys_stream(
@@ -63,12 +65,19 @@ def hot_keys_stream(
     capacity: int = 1024,
     k: int = 20,
 ) -> DataFrame:
-    """(streaming or batch) df -> per-batch per-shard top-k emissions:
-    (shard, key, est_count, shard_undercount, emit_seq).
+    """streaming df -> per-batch per-shard top-k emissions:
+    (shard, key, est_count, shard_undercount, emit_seq). STREAMING ONLY:
+    `applyInPandasWithState` rejects batch frames at execution time — use
+    `operators/sketch.heavy_hitters` for the batch leg.
 
     est_count is exact while a shard's distinct keys fit `capacity` (then
     shard_undercount is 0); under pressure the batch operator's MG bounds
-    hold per shard. NULL keys are ignored.
+    hold per shard. NULL keys are ignored. Every emission additionally
+    carries one null-key sentinel row, so the shard's CURRENT undercount
+    and emit_seq survive even a batch whose trim wipes every counter
+    (without it, latest_snapshot would fall back to a stale emission and
+    the 'true > shard_undercount implies present' guarantee would silently
+    break).
     """
     if n_shards < 1 or capacity < 1 or k < 1:
         raise ValueError("n_shards, capacity and k must all be >= 1")
@@ -104,29 +113,21 @@ def hot_keys_stream(
             vals = pdf["_k"].dropna()
             if len(vals):
                 cnt.update(vals.value_counts().to_dict())
-            if len(cnt) > capacity:
-                top = sorted(cnt.values(), reverse=True)
-                d = top[capacity]
-                if d:
-                    for t in list(cnt):
-                        nv = cnt[t] - d
-                        if nv > 0:
-                            cnt[t] = nv
-                        else:
-                            del cnt[t]
-                    decremented += d
+            decremented += mg_trim(cnt, capacity)
         emit_seq += 1
         state.update(
             (list(cnt.keys()), [int(v) for v in cnt.values()], decremented, emit_seq)
         )
         tops = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        # + the null-key sentinel: the shard's current undercount/emit_seq
+        # must reach the sink even when tops is empty (all counters wiped)
         yield pd.DataFrame(
             {
-                "shard": [shard] * len(tops),
-                "key": [t for t, _ in tops],
-                "est_count": [int(c) for _, c in tops],
-                "shard_undercount": [decremented] * len(tops),
-                "emit_seq": [emit_seq] * len(tops),
+                "shard": [shard] * (len(tops) + 1),
+                "key": [t for t, _ in tops] + [None],
+                "est_count": [int(c) for _, c in tops] + [0],
+                "shard_undercount": [decremented] * (len(tops) + 1),
+                "emit_seq": [emit_seq] * (len(tops) + 1),
             }
         )
 
@@ -146,17 +147,27 @@ def hot_keys_stream(
     )
 
 
-def latest_snapshot(emissions: DataFrame, k: int = 20) -> DataFrame:
-    """Sink-table helper: reduce accumulated emissions to the CURRENT hot
-    set — each shard's max-emit_seq rows, unioned, global top-k by
-    est_count (key tiebreak). Runs on the (small) sink table, not the
-    stream."""
+def latest_emissions(emissions: DataFrame) -> DataFrame:
+    """Sink-table helper: each shard's max-emit_seq rows (sentinels
+    included — the row with key NULL carries the shard's current
+    undercount even when its summary is empty). Runs on the (small) sink
+    table, not the stream."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("shard")
-    cur = (
+    return (
         emissions.withColumn("_mx", F.max("emit_seq").over(w))
         .where(F.col("emit_seq") == F.col("_mx"))
         .drop("_mx")
     )
-    return cur.orderBy(F.desc("est_count"), "key").limit(k)
+
+
+def latest_snapshot(emissions: DataFrame, k: int = 20) -> DataFrame:
+    """The CURRENT hot set: latest per-shard emissions, sentinels dropped,
+    global top-k by est_count (key tiebreak)."""
+    return (
+        latest_emissions(emissions)
+        .where(F.col("key").isNotNull())
+        .orderBy(F.desc("est_count"), "key")
+        .limit(k)
+    )
