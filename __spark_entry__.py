@@ -894,7 +894,12 @@ def q_dedup_lines(spark, sf_dir):
     through the frequency aggregate and the flag join as fixed 32-byte md5
     keys, never as text."""
     t = load_transcripts(spark, sf_dir)
-    docs = CTX.flatten_conversations(t).select("conv_id", "doc")
+    # dedup_lines consumes its input twice (line-frequency aggregate, then
+    # the flag join); caching the flattened docs halves the upstream
+    # flatten cost — and sft_funnel reuses the same cached plan.
+    docs = _tracked_persist(
+        CTX.flatten_conversations(t).select("conv_id", "doc")
+    )
     return CU.dedup_lines(
         docs, DEDUP_LINES_MIN_DOCS, id_col="conv_id", text_col="doc"
     )
@@ -911,7 +916,9 @@ def q_sft_funnel(spark, sf_dir):
     transcripts-side analogue of pipeline_funnel: the chained semantics,
     not just each operator alone, are parity-checked."""
     t = load_transcripts(spark, sf_dir)
-    docs = CTX.flatten_conversations(t).select("conv_id", "doc")
+    docs = _tracked_persist(
+        CTX.flatten_conversations(t).select("conv_id", "doc")
+    )
     dl = CU.dedup_lines(
         docs, DEDUP_LINES_MIN_DOCS, id_col="conv_id", text_col="doc"
     )
